@@ -1,0 +1,14 @@
+"""cfftpack_tpu — TPU-native spectral-transform engine.
+
+A from-scratch JAX/XLA/Pallas re-design covering the full capability
+surface of the cfftpack reference library (FFTPACK 5.1 wrapper): complex
+and real FFTs (1-D/2-D/N-D, any length), DCT/DST families I-VIII, GDFT,
+spectrum shifts, fast-size planning, FFTPACK/orthonormal scaling modes,
+batched + sharded execution, and quant-finance spectral applications.
+"""
+from .config import DEFAULT_NORM, VALID_NORMS  # noqa: F401
+from .plan import (fft_next_fast_size, fft_next_fast_even_size,  # noqa: F401
+                   fft_next_fast_size_2nm1, fft_next_fast_size_2np1)
+from .ops import fft, ifft, fft2, ifft2, fftn, ifftn  # noqa: F401
+
+__version__ = "0.1.0"

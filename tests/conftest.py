@@ -1,0 +1,23 @@
+"""Test harness config: CPU backend with a virtual 8-device mesh + x64.
+
+Must run before jax is imported anywhere (pytest imports conftest first).
+Mirrors the multi-chip test strategy in SURVEY.md §4: sharded paths are
+validated on a host-platform device mesh, numerics in float64 against
+naive O(n^2) oracles (reference tolerances: 1e-13 f64 / 1e-4 f32,
+/root/reference/test/testall.c:44-49).
+"""
+import os
+
+flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (
+        flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
+import jax  # noqa: E402
+
+# Force CPU via jax.config as well: the ambient axon sitecustomize
+# registers the real-TPU tunnel backend at interpreter boot and sets
+# jax_platforms="axon,cpu", which would shadow the env var.
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)

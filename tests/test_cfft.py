@@ -1,0 +1,128 @@
+"""Complex FFT parity vs naive O(n^2) oracle + round-trip properties.
+
+Mirrors the reference test strategy (testall.c): oracle comparison at
+1e-13-ish (f64) / 1e-4 (f32) absolute tolerance, round-trip back to the
+input, both default (FFTPACK) and orthonormal scaling, mixed-radix sizes
+including 60 = 4*3*5 plus the BASELINE.json sizes 960/1000/1250 and
+prime/odd lengths the reference handles via its generic radix.
+"""
+import numpy as np
+import pytest
+
+import cfftpack_tpu as ct
+from oracles import naive_fft, naive_ifft
+
+SIZES = [1, 2, 3, 4, 5, 6, 8, 15, 16, 25, 32, 49, 60, 101, 120, 210, 243,
+         256, 960, 1000, 1024, 1250]
+
+F64_TOL = 1e-12
+F32_TOL = 2e-4
+
+
+def rng_complex(shape, seed=0):
+    r = np.random.default_rng(seed)
+    return r.standard_normal(shape) + 1j * r.standard_normal(shape)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_fft_matches_naive_f64(n):
+    x = rng_complex((n,), seed=n)
+    got = np.asarray(ct.fft(x))
+    want = naive_fft(x)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * max(1, n ** 0.5))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_ifft_matches_naive_f64(n):
+    x = rng_complex((n,), seed=n + 1)
+    got = np.asarray(ct.ifft(x))
+    want = naive_ifft(x)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * max(1, n))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_roundtrip_fftpack_norm(n):
+    x = rng_complex((n,), seed=n + 2)
+    y = np.asarray(ct.ifft(ct.fft(x)))
+    np.testing.assert_allclose(y, x, atol=F64_TOL * max(1, n ** 0.5))
+
+
+@pytest.mark.parametrize("n", [2, 32, 60, 101, 1000])
+@pytest.mark.parametrize("norm", ["fftpack", "ortho", "backward", "forward"])
+def test_roundtrip_all_norms(n, norm):
+    x = rng_complex((n,), seed=7)
+    y = np.asarray(ct.ifft(ct.fft(x, norm=norm), norm=norm))
+    np.testing.assert_allclose(y, x, atol=F64_TOL * max(1, n ** 0.5))
+
+
+def test_ortho_matches_naive():
+    x = rng_complex((60,), seed=3)
+    np.testing.assert_allclose(
+        np.asarray(ct.fft(x, norm="ortho")), naive_fft(x, ortho=True),
+        atol=F64_TOL * 8)
+    np.testing.assert_allclose(
+        np.asarray(ct.ifft(x, norm="ortho")), naive_ifft(x, ortho=True),
+        atol=F64_TOL * 8)
+
+
+def test_batched_and_axis():
+    x = rng_complex((3, 5, 64), seed=11)
+    got = np.asarray(ct.fft(x))
+    want = naive_fft(x)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * 8)
+    # middle axis
+    got_ax = np.asarray(ct.fft(x, axis=1))
+    want_ax = np.moveaxis(naive_fft(np.moveaxis(x, 1, -1)), -1, 1)
+    np.testing.assert_allclose(got_ax, want_ax, atol=F64_TOL * 8)
+
+
+def test_fft2_matches_naive():
+    x = rng_complex((8, 6), seed=13)
+    got = np.asarray(ct.fft2(x))
+    want = naive_fft(naive_fft(x).swapaxes(-1, -2)).swapaxes(-1, -2)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * 8)
+    rt = np.asarray(ct.ifft2(ct.fft2(x)))
+    np.testing.assert_allclose(rt, x, atol=F64_TOL * 8)
+
+
+def test_fftn_roundtrip():
+    x = rng_complex((4, 6, 10), seed=17)
+    rt = np.asarray(ct.ifftn(ct.fftn(x)))
+    np.testing.assert_allclose(rt, x, atol=F64_TOL * 8)
+
+
+@pytest.mark.parametrize("n", [32, 60, 101, 1000])
+def test_complex64_path(n):
+    x = rng_complex((n,), seed=n).astype(np.complex64)
+    got = np.asarray(ct.fft(x))
+    assert got.dtype == np.complex64
+    want = naive_fft(x)
+    np.testing.assert_allclose(got, want, atol=F32_TOL)
+
+
+def test_real_input_promoted():
+    x = np.random.default_rng(0).standard_normal(32)
+    got = np.asarray(ct.fft(x))
+    np.testing.assert_allclose(got, naive_fft(x), atol=F64_TOL * 8)
+
+
+def test_jit_and_vmap_compose():
+    import jax
+    x = rng_complex((4, 64), seed=23)
+    f = jax.jit(lambda a: ct.fft(a))
+    got = np.asarray(f(x))
+    np.testing.assert_allclose(got, naive_fft(x), atol=F64_TOL * 8)
+    got_v = np.asarray(jax.vmap(lambda a: ct.fft(a))(x))
+    np.testing.assert_allclose(got_v, got, atol=0)
+
+
+def test_grad_flows():
+    import jax
+    x = np.random.default_rng(1).standard_normal(16)
+
+    def loss(v):
+        import jax.numpy as jnp
+        return jnp.sum(jnp.abs(ct.fft(v)) ** 2)
+
+    g = jax.grad(loss)(x)
+    assert np.all(np.isfinite(np.asarray(g)))
