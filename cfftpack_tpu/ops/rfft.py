@@ -1,0 +1,175 @@
+"""Real FFT (r2c / c2r), packed (n//2+1) spectrum, plus 2-D real FFT.
+
+TPU-first re-design of the reference's real engine (``rfftf1_``/``rfftb1_``
+with reversed-factor real radix kernels, /root/reference/cfftpack/
+fftpack.c:13517-13854, wrapped by ``rfft_forward``/``rfft_inverse``,
+cfftpack.c:433-494; 2-D core ``rfft2f_``/``rfft2b_`` fftpack.c:13113-13445):
+
+* Even n uses the half-length complex trick: pack x into z[j] =
+  x[2j] + i*x[2j+1], one length-n/2 complex FFT, then an O(n) split
+  stage — the same ~2x win over a full complex FFT the reference gets
+  from its real kernels, but expressed as dense vector ops.
+* Odd n falls back to a complex FFT of the real input (truncated to
+  n//2+1 bins); the inverse rebuilds the full spectrum by conjugate
+  symmetry.  Mixed-radix/Bluestein support means ANY length works.
+* Output layout matches the reference's packed convention: n//2+1
+  complex bins with imag(DC) == 0 and, for even n, imag(Nyquist) == 0
+  (cfftpack.c:466-471 zeroes those slots explicitly; so do we).
+
+Scaling: the unscaled cores satisfy irfft_core(rfft_core(x)) == n*x,
+so the public API applies the same fwd/inv norm scalars as the complex
+path (FFTPACK default: 1/n on forward, none on inverse).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
+                      inv_scale, real_dtype_of)
+from .cfft import _apply_axis, _dft_last_axis
+
+__all__ = ["rfft", "irfft", "rfft2", "irfft2"]
+
+
+def _half_twiddle(n: int) -> np.ndarray:
+    """exp(-2j*pi*k/n) for k = 0..n//2 (float64 host table)."""
+    k = np.arange(n // 2 + 1)
+    return np.exp((-2j * np.pi / n) * k)
+
+
+def _rfft_core(x, n: int):
+    """Unscaled forward DFT of real x over the last axis -> n//2+1 bins."""
+    cdtype = complex_dtype_of(x.dtype)
+    if n == 1:
+        return x.astype(cdtype)
+    if n % 2 == 0:
+        m = n // 2
+        z = x[..., 0::2] + 1j * x[..., 1::2].astype(cdtype)
+        z = z.astype(cdtype)
+        Z = _dft_last_axis(z, m, inverse=False)
+        Zf = jnp.concatenate([Z, Z[..., :1]], axis=-1)       # k = 0..m
+        Zc = jnp.conj(Zf[..., ::-1])                          # conj(Z[m-k])
+        Ze = 0.5 * (Zf + Zc)
+        Zo = -0.5j * (Zf - Zc)
+        W = jnp.asarray(_half_twiddle(n), dtype=cdtype)
+        y = Ze + W * Zo
+    else:
+        z = x.astype(cdtype)
+        y = _dft_last_axis(z, n, inverse=False)[..., : n // 2 + 1]
+    # exact packed layout: imag(DC) = 0; imag(Nyquist) = 0 when n even
+    # (reference zeroes these slots, cfftpack.c:466-471)
+    y = y.at[..., 0].set(jnp.real(y[..., 0]).astype(y.dtype))
+    if n % 2 == 0:
+        y = y.at[..., -1].set(jnp.real(y[..., -1]).astype(y.dtype))
+    return y
+
+
+def _irfft_core(y, n: int):
+    """Unscaled inverse: returns n * x for y = _rfft_core(x).  Real out."""
+    cdtype = y.dtype
+    rdtype = real_dtype_of(cdtype)
+    if n == 1:
+        return jnp.real(y[..., 0:1]).astype(rdtype)
+    if n % 2 == 0:
+        m = n // 2
+        Yc = jnp.conj(y[..., ::-1])                 # conj(Y[m-k]), k=0..m
+        Ze = y + Yc
+        W = jnp.asarray(np.conj(_half_twiddle(n)), dtype=cdtype)
+        Zo = (y - Yc) * W
+        Z = (Ze + 1j * Zo)[..., :m]
+        z = _dft_last_axis(Z, m, inverse=True)       # = 2*m * z_true = n*z
+        out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
+        return out.reshape(*z.shape[:-1], n).astype(rdtype)
+    # odd n: rebuild full spectrum by conjugate symmetry
+    tail = jnp.conj(y[..., 1:][..., ::-1])
+    full = jnp.concatenate([y, tail], axis=-1)
+    z = _dft_last_axis(full, n, inverse=True)
+    return jnp.real(z).astype(rdtype)
+
+
+def _rfft_impl(x, axis: int, norm: str):
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        raise TypeError("rfft requires real input; use fft for complex")
+    n = x.shape[axis]
+    y = _apply_axis(x, axis, partial(_rfft_core, n=n))
+    s = fwd_scale(norm, n)
+    if s != 1.0:
+        y = y * jnp.asarray(s, dtype=y.dtype)
+    return y
+
+
+def _irfft_impl(y, n: int, axis: int, norm: str):
+    y = jnp.asarray(y)
+    y = y.astype(complex_dtype_of(y.dtype))
+    if y.shape[axis] != n // 2 + 1:
+        raise ValueError(
+            f"irfft: spectrum axis has {y.shape[axis]} bins, expected "
+            f"n//2+1 = {n // 2 + 1} for n={n}")
+    x = _apply_axis(y, axis, partial(_irfft_core, n=n))
+    s = inv_scale(norm, n)
+    if s != 1.0:
+        x = x * jnp.asarray(s, dtype=x.dtype)
+    return x
+
+
+_rfft_jit = jax.jit(_rfft_impl, static_argnums=(1, 2))
+_irfft_jit = jax.jit(_irfft_impl, static_argnums=(1, 2, 3))
+
+
+def rfft(x, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Real-to-complex forward FFT: (..., n) real -> (..., n//2+1) complex.
+
+    Packed layout and FFTPACK 1/n forward scaling match the reference's
+    ``rfft_forward`` (cfftpack.c:433-471).  Any length n is supported.
+    """
+    return _rfft_jit(x, axis, check_norm(norm))
+
+
+def irfft(y, n: int, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Complex-to-real inverse FFT of a packed (n//2+1)-bin spectrum.
+
+    ``n`` is the real output length (the packed layout is ambiguous
+    about parity, so it must be given — the reference stores it in the
+    plan, cfftintern.h:31-38).
+    """
+    return _irfft_jit(y, int(n), axis, check_norm(norm))
+
+
+def _rfft2_impl(x, axes, norm: str):
+    """2-D real FFT: r2c along axes[-1], complex FFT along axes[0].
+
+    Row-column order mirrors the reference 2-D real core ``rfft2f_``
+    (fftpack.c:13282-13445: rfftm along dim 1 then cfftm across rows).
+    """
+    from .cfft import _fft_impl
+    a0, a1 = axes
+    y = _rfft_impl(x, a1, norm)
+    return _fft_impl(y, a0, norm, inverse=False)
+
+
+def _irfft2_impl(y, n0_n1, axes, norm: str):
+    from .cfft import _fft_impl
+    a0, a1 = axes
+    n0, n1 = n0_n1
+    z = _fft_impl(y, a0, norm, inverse=True)
+    return _irfft_impl(z, n1, a1, norm)
+
+
+_rfft2_jit = jax.jit(_rfft2_impl, static_argnums=(1, 2))
+_irfft2_jit = jax.jit(_irfft2_impl, static_argnums=(1, 2, 3))
+
+
+def rfft2(x, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """2-D real FFT -> (..., n0, n1//2+1) packed complex spectrum."""
+    return _rfft2_jit(x, tuple(int(a) for a in axes), check_norm(norm))
+
+
+def irfft2(y, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """Inverse 2-D real FFT; ``s = (n0, n1)`` is the real output shape."""
+    return _irfft2_jit(y, (int(s[0]), int(s[1])),
+                       tuple(int(a) for a in axes), check_norm(norm))

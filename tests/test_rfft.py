@@ -1,0 +1,111 @@
+"""Real FFT parity vs naive oracle + round-trip, packed-layout checks.
+
+Mirrors the reference strategy (testall.c tolerances; rfft packed layout
+from cfftpack.c:433-494).
+"""
+import numpy as np
+import pytest
+
+import cfftpack_tpu as ct
+from oracles import naive_rfft
+
+SIZES = [1, 2, 3, 4, 5, 6, 8, 15, 16, 25, 32, 49, 60, 101, 120, 243, 256,
+         960, 1000, 1024, 1250]
+
+F64_TOL = 1e-12
+
+
+def rng_real(shape, seed=0):
+    return np.random.default_rng(seed).standard_normal(shape)
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_rfft_matches_naive(n):
+    x = rng_real((n,), seed=n)
+    got = np.asarray(ct.rfft(x))
+    want = naive_rfft(x)
+    assert got.shape == (n // 2 + 1,)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * max(1, n ** 0.5))
+
+
+@pytest.mark.parametrize("n", SIZES)
+def test_rfft_roundtrip(n):
+    x = rng_real((n,), seed=n + 1)
+    y = ct.rfft(x)
+    back = np.asarray(ct.irfft(y, n))
+    np.testing.assert_allclose(back, x, atol=F64_TOL * max(1, n ** 0.5))
+
+
+@pytest.mark.parametrize("n", [2, 32, 60, 101, 1000])
+@pytest.mark.parametrize("norm", ["fftpack", "ortho", "backward"])
+def test_rfft_roundtrip_norms(n, norm):
+    x = rng_real((n,), seed=5)
+    back = np.asarray(ct.irfft(ct.rfft(x, norm=norm), n, norm=norm))
+    np.testing.assert_allclose(back, x, atol=F64_TOL * max(1, n ** 0.5))
+
+
+def test_rfft_packed_layout_exact_zeros():
+    for n in (16, 17):
+        y = np.asarray(ct.rfft(rng_real((n,), seed=n)))
+        assert y[0].imag == 0.0
+        if n % 2 == 0:
+            assert y[-1].imag == 0.0
+
+
+def test_rfft_batched():
+    x = rng_real((4, 7, 64), seed=2)
+    got = np.asarray(ct.rfft(x))
+    want = naive_rfft(x)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * 8)
+
+
+def test_rfft_middle_axis():
+    x = rng_real((3, 32, 5), seed=9)
+    got = np.asarray(ct.rfft(x, axis=1))
+    want = np.moveaxis(naive_rfft(np.moveaxis(x, 1, -1)), -1, 1)
+    np.testing.assert_allclose(got, want, atol=F64_TOL * 8)
+    back = np.asarray(ct.irfft(ct.rfft(x, axis=1), 32, axis=1))
+    np.testing.assert_allclose(back, x, atol=F64_TOL * 8)
+
+
+def test_rfft_float32():
+    x = rng_real((256,), seed=3).astype(np.float32)
+    got = np.asarray(ct.rfft(x))
+    assert got.dtype == np.complex64
+    np.testing.assert_allclose(got, naive_rfft(x), atol=2e-4)
+    back = np.asarray(ct.irfft(ct.rfft(x), 256))
+    assert back.dtype == np.float32
+    np.testing.assert_allclose(back, x, atol=2e-4)
+
+
+def test_rfft_rejects_complex():
+    with pytest.raises(TypeError):
+        ct.rfft(np.ones(8, dtype=np.complex128))
+
+
+def test_irfft_bad_bins():
+    with pytest.raises(ValueError):
+        ct.irfft(np.ones(5, dtype=np.complex128), 16)
+
+
+@pytest.mark.parametrize("shape", [(8, 6), (7, 9), (16, 16)])
+def test_rfft2_matches_naive(shape):
+    from oracles import naive_fft
+    x = rng_real(shape, seed=shape[0])
+    got = np.asarray(ct.rfft2(x))
+    full = naive_fft(naive_fft(x).swapaxes(-1, -2)).swapaxes(-1, -2)
+    want = full[..., : shape[1] // 2 + 1]
+    np.testing.assert_allclose(got, want, atol=F64_TOL * 8)
+    back = np.asarray(ct.irfft2(got, shape))
+    np.testing.assert_allclose(back, x, atol=F64_TOL * 8)
+
+
+def test_rfft_grad_flows():
+    import jax
+
+    def loss(v):
+        import jax.numpy as jnp
+        return jnp.sum(jnp.abs(ct.rfft(v)) ** 2)
+
+    g = jax.grad(loss)(rng_real((32,), seed=4))
+    assert np.all(np.isfinite(np.asarray(g)))
