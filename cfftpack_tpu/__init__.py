@@ -10,6 +10,7 @@ from .config import DEFAULT_NORM, VALID_NORMS  # noqa: F401
 from .plan import (fft_next_fast_size, fft_next_fast_even_size,  # noqa: F401
                    fft_next_fast_size_2nm1, fft_next_fast_size_2np1)
 from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
-                  rfft, irfft, rfft2, irfft2)
+                  rfft, irfft, rfft2, irfft2,
+                  dct, idct, dst, idst)
 
 __version__ = "0.1.0"

@@ -1,0 +1,347 @@
+"""DCT/DST types I-IV over the last axis, FFT-based, any length.
+
+TPU-first re-design of the reference's cosine/sine machinery
+(/root/reference/cfftpack/fftpack.c cosq/cost/sinq/sint drivers
+:5374-6611, 14123-15122, wrapped by cfftpack.c:155-431 and the DCT-IV/
+DST-IV composites cfftextra.c:132-303):
+
+* DCT-II/III use Makhoul's N-point algorithm: an even/odd interleave
+  permutation + one length-N complex FFT + a phase rotation — fully
+  parallel dense vector ops instead of FFTPACK's fold/recurrence
+  pre/post stages (cosqf1_/cosqb1_ fftpack.c:5576-5741), which are
+  sequential and hostile to 128-lane vectorization.
+* DST-II/III come from DCT-II/III by the classic flip/sign identities
+  (the same trick the reference uses, sinq1f_ fftpack.c:14201-14270).
+* DCT-I embeds into a 2(N-1) even extension, DST-I into a 2(N+1) odd
+  extension, both via one real FFT (cost1f_/sint1f_ analogs).
+* DCT-IV embeds into a length-2N half-shift GDFT (phase-ramped FFT);
+  DST-IV = flip/sign of DCT-IV (as cfftextra.c:289-303).
+
+Scaling modes follow the reference wrapper conventions:
+``norm="fftpack"`` applies FFTPACK's full forward scaling and an
+unscaled inverse (dct == cosq pair semantics, cfftpack.c:155-221);
+``norm="ortho"`` is orthonormal both ways (including the DCT-I
+boundary correction the reference implements by hand,
+cfftpack.c:249-279); ``norm="backward"`` scales the inverse only.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_NORM, check_norm, complex_dtype_of
+from .cfft import _apply_axis, _dft_last_axis
+from .rfft import _rfft_core
+
+__all__ = ["dct", "idct", "dst", "idst"]
+
+_SQRT2 = float(np.sqrt(2.0))
+
+
+def _cexp_half(n: int, sign: float) -> np.ndarray:
+    """exp(sign * 1j*pi*k/(2n)) for k=0..n-1 (host f64 table)."""
+    k = np.arange(n)
+    return np.exp(sign * 1j * np.pi / (2 * n) * k)
+
+
+# ---------------------------------------------------------------- cores
+# All cores are "unscaled": plain trig sums with FFTPACK's half-term
+# conventions (the mode<0 semantics of the reference's naive test
+# oracles, /root/reference/test/naivepack.c:12-228).
+
+def _dct2_core(x, n: int):
+    """y[k] = sum_j x[j] cos(pi*k*(2j+1)/(2n))  (Makhoul N-point)."""
+    if n == 1:
+        return x
+    half = (n + 1) // 2
+    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
+    cdtype = complex_dtype_of(x.dtype)
+    V = _dft_last_axis(v.astype(cdtype), n, inverse=False)
+    ph = jnp.asarray(_cexp_half(n, -1.0), dtype=cdtype)
+    del half
+    return jnp.real(ph * V).astype(x.dtype)
+
+
+def _dct3_core(x, n: int):
+    """y[k] = x[0]/2 + sum_{j>=1} x[j] cos(pi*j*(2k+1)/(2n))."""
+    if n == 1:
+        return 0.5 * x
+    cdtype = complex_dtype_of(x.dtype)
+    xr = x[..., 1:][..., ::-1]  # x[n-k] for k=1..n-1
+    pad = jnp.zeros_like(x[..., :1])
+    xnk = jnp.concatenate([pad, xr], axis=-1)  # x[n-k], x[n]==0
+    ph = jnp.asarray(_cexp_half(n, +1.0), dtype=cdtype)
+    V = ph * (x.astype(cdtype) - 1j * xnk.astype(cdtype))
+    w = _dft_last_axis(V, n, inverse=True)  # unscaled inverse DFT
+    v = 0.5 * jnp.real(w).astype(x.dtype)
+    # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j]
+    half = (n + 1) // 2
+    out = jnp.zeros_like(v)
+    out = out.at[..., 0::2].set(v[..., :half])
+    out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
+    return out
+
+
+def _alt_sign(n: int) -> np.ndarray:
+    return (-1.0) ** np.arange(n)
+
+
+def _dst2_core(x, n: int):
+    """y[k] = sum_j x[j] sin(pi*(k+1)*(2j+1)/(2n)) = flip(dct2((-1)^j x))."""
+    s = jnp.asarray(_alt_sign(n), dtype=x.dtype)
+    return _dct2_core(x * s, n)[..., ::-1]
+
+
+def _dst3_core(x, n: int):
+    """y[k] = (-1)^k x[n-1]/2 + sum_{j<n-1} x[j] sin(pi*(j+1)*(2k+1)/(2n))."""
+    s = jnp.asarray(_alt_sign(n), dtype=x.dtype)
+    return s * _dct3_core(x[..., ::-1], n)
+
+
+def _dct1_re(x, n: int):
+    """Re(DFT of the even extension): x0 + (-1)^k x_{n-1} + 2*sum_mid."""
+    m = 2 * (n - 1)
+    ext = jnp.concatenate([x, x[..., 1:-1][..., ::-1]], axis=-1)
+    Y = _rfft_core(ext, m)  # bins 0..n-1
+    return jnp.real(Y).astype(x.dtype)
+
+
+def _dst1_core(x, n: int):
+    """y[k] = sum_j x[j] sin(pi*(j+1)*(k+1)/(n+1)) via odd extension."""
+    m = 2 * (n + 1)
+    z = jnp.zeros_like(x[..., :1])
+    ext = jnp.concatenate([z, x, z, -x[..., ::-1]], axis=-1)
+    Y = _rfft_core(ext, m)  # bins 0..n+1
+    return (-0.5) * jnp.imag(Y[..., 1: n + 1]).astype(x.dtype)
+
+
+def _dct4_core(x, n: int):
+    """y[k] = sum_j x[j] cos(pi*(k+.5)*(j+.5)/n), via half-shift GDFT(2n).
+
+    U[k] = sum_{j<2n} xpad[j] e^{-i pi (j+.5)(k+.5)/n}; Re U[k] = y[k].
+    Expressed as pre-ramp * FFT(2n) * post-ramp (the GDFT factorization
+    the reference uses for its odd transforms, cfftextra.c:397-479).
+    """
+    m = 2 * n
+    cdtype = complex_dtype_of(x.dtype)
+    j = np.arange(m)
+    # (j+.5)(k+.5)/m*2pi = jk*2pi/m + j*pi/m + k*pi/m + pi/(2m)
+    pre = np.exp(-1j * np.pi / m * (j + 0.5))          # e^{-i pi(j+.5)/m}
+    k = np.arange(n)
+    post = np.exp(-1j * np.pi / m * k)                 # e^{-i pi k/m}
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    xp = jnp.pad(x.astype(cdtype), pad)
+    a = xp * jnp.asarray(pre, dtype=cdtype)
+    A = _dft_last_axis(a, m, inverse=False)[..., :n]
+    U = A * jnp.asarray(post, dtype=cdtype)
+    return jnp.real(U).astype(x.dtype)
+
+
+def _dst4_core(x, n: int):
+    """y[k] = sum_j x[j] sin(pi*(k+.5)*(j+.5)/n) = (-1)^k dct4(flip(x))."""
+    s = jnp.asarray(_alt_sign(n), dtype=x.dtype)
+    return s * _dct4_core(x[..., ::-1], n)
+
+
+# ------------------------------------------------------ scaling wrappers
+
+def _ends_weight(n: int, w: float, dtype) -> jnp.ndarray:
+    v = np.ones(n)
+    v[0] = w
+    v[-1] = w
+    return jnp.asarray(v, dtype=dtype)
+
+
+def _dct1_apply(x, n: int, mode: int):
+    """DCT-I with oracle-mode scaling: +1 fftpack fwd, -1 unscaled, 0 ortho.
+
+    The ortho mode reproduces the reference's hand-built orthonormal
+    DCT-I (cfftpack_orthogonal_dct1, cfftpack.c:249-279) in closed form.
+    """
+    if n < 2:
+        raise ValueError("dct type 1 requires n >= 2")
+    M = n - 1.0
+    re = _dct1_re(x, n)
+    sgn = jnp.asarray(_alt_sign(n), dtype=x.dtype)
+    x0 = x[..., :1]
+    xN = x[..., -1:]
+    if mode > 0:  # fftpack forward: (x0/2 + sum + (-1)^k xN/2)*(2/M), ends/2
+        y = re * (1.0 / M)
+        return y * _ends_weight(n, 0.5, x.dtype)
+    if mode < 0:  # unscaled: x0 + (-1)^k xN + sum
+        return 0.5 * re + 0.5 * (x0 + sgn * xN)
+    # ortho: sqrt(2/M)*(x0/sqrt2 + sum + (-1)^k xN/sqrt2), ends /sqrt2
+    c = 1.0 / _SQRT2 - 0.5
+    y = 0.5 * re + c * (x0 + sgn * xN)
+    y = y * float(np.sqrt(2.0 / M))
+    return y * _ends_weight(n, 1.0 / _SQRT2, x.dtype)
+
+
+def _dst1_apply(x, n: int, mode: int):
+    y = _dst1_core(x, n)
+    if mode > 0:
+        return y * (2.0 / (n + 1))
+    if mode < 0:
+        return y
+    return y * float(np.sqrt(2.0 / (n + 1)))
+
+
+def _dct2_apply(x, n: int, mode: int):
+    if mode < 0:  # unscaled — the reference's DCT-II side (cosq1b_)
+        return _dct2_core(x, n)
+    if mode > 0:  # fftpack "forward carries the scale" pairing
+        return _dct2_core(x, n) * (2.0 / n)
+    # ortho: y0*sqrt(1/n), yk*sqrt(2/n)
+    y = _dct2_core(x, n)
+    w = np.full(n, np.sqrt(2.0 / n))
+    w[0] = np.sqrt(1.0 / n)
+    return y * jnp.asarray(w, dtype=x.dtype)
+
+
+def _dct3_apply(x, n: int, mode: int):
+    if mode < 0:
+        return _dct3_core(x, n)
+    if mode > 0:  # fftpack forward (cosq1f_): 2/n overall
+        return _dct3_core(x, n) * (2.0 / n)
+    # ortho (transpose of orthonormal DCT-II): column scales sqrt(2/n),
+    # except the DC column 1/sqrt(n); the core's built-in 1/2 on x0
+    # means the input weight there is 2/sqrt(n).
+    w = np.full(n, np.sqrt(2.0 / n))
+    w[0] = 2.0 / np.sqrt(n)
+    xs = x * jnp.asarray(w, dtype=x.dtype)
+    return _dct3_core(xs, n)
+
+
+def _dst2_apply(x, n: int, mode: int):
+    if mode < 0:
+        return _dst2_core(x, n)
+    if mode > 0:
+        return _dst2_core(x, n) * (2.0 / n)
+    y = _dst2_core(x, n)
+    w = np.full(n, np.sqrt(2.0 / n))
+    w[-1] = np.sqrt(1.0 / n)
+    return y * jnp.asarray(w, dtype=x.dtype)
+
+
+def _dst3_apply(x, n: int, mode: int):
+    if mode < 0:
+        return _dst3_core(x, n)
+    if mode > 0:
+        return _dst3_core(x, n) * (2.0 / n)
+    # ortho (transpose of orthonormal DST-II): column scales sqrt(2/n),
+    # except the Nyquist column 1/sqrt(n); core halves x[n-1], so 2/sqrt(n).
+    w = np.full(n, np.sqrt(2.0 / n))
+    w[-1] = 2.0 / np.sqrt(n)
+    xs = x * jnp.asarray(w, dtype=x.dtype)
+    return _dst3_core(xs, n)
+
+
+def _dct4_apply(x, n: int, mode: int):
+    y = _dct4_core(x, n)
+    if mode > 0:
+        return y * (2.0 / n)
+    if mode < 0:
+        return y
+    return y * float(np.sqrt(2.0 / n))
+
+
+def _dst4_apply(x, n: int, mode: int):
+    y = _dst4_core(x, n)
+    if mode > 0:
+        return y * (2.0 / n)
+    if mode < 0:
+        return y
+    return y * float(np.sqrt(2.0 / n))
+
+
+_FWD = {1: _dct1_apply, 2: _dct2_apply, 3: _dct3_apply, 4: _dct4_apply}
+_FWD_S = {1: _dst1_apply, 2: _dst2_apply, 3: _dst3_apply, 4: _dst4_apply}
+# operator inverse of each type (I and IV are involutions up to scale)
+_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
+
+
+def _norm_modes(norm: str) -> tuple[int, int]:
+    """(forward mode, inverse mode) per norm.
+
+    fftpack: full scale forward, unscaled inverse (reference default).
+    ortho:   orthonormal both ways.
+    backward/forward aliases follow the complex-FFT table in config.py:
+    "forward" == fftpack; "backward" puts the full scale on the inverse.
+    """
+    if norm in ("fftpack", "forward"):
+        return 1, -1
+    if norm == "ortho":
+        return 0, 0
+    return -1, 1  # backward
+
+
+def _check_type(t) -> int:
+    t = int(t)
+    if t not in (1, 2, 3, 4):
+        raise ValueError(f"transform type must be 1..4, got {t}")
+    return t
+
+
+def _prep_real(x):
+    x = jnp.asarray(x)
+    if jnp.iscomplexobj(x):
+        raise TypeError("DCT/DST require real input")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.float64)
+    return x
+
+
+def _run(table, t: int, x, axis: int, mode: int):
+    n = x.shape[axis]
+    return _apply_axis(x, axis, partial(table[t], n=n, mode=mode))
+
+
+def _dct_impl(x, t: int, axis: int, norm: str, inverse: bool):
+    fm, im = _norm_modes(norm)
+    if inverse:
+        return _run(_FWD, _INV_TYPE[t], x, axis, im)
+    return _run(_FWD, t, x, axis, fm)
+
+
+def _dst_impl(x, t: int, axis: int, norm: str, inverse: bool):
+    fm, im = _norm_modes(norm)
+    if inverse:
+        return _run(_FWD_S, _INV_TYPE[t], x, axis, im)
+    return _run(_FWD_S, t, x, axis, fm)
+
+
+_dct_jit = jax.jit(_dct_impl, static_argnums=(1, 2, 3, 4))
+_dst_jit = jax.jit(_dst_impl, static_argnums=(1, 2, 3, 4))
+
+
+def dct(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Forward DCT of the given type (1-4) along ``axis``.
+
+    norm="fftpack" follows the reference pairing: the type-3 transform
+    carries the full 2/N scaling (it is FFTPACK's "forward" DCT,
+    cfftpack.h:143-158) and types 2 (and the I/IV involutions' inverse
+    direction) are unscaled; ``idct`` undoes ``dct`` for every norm.
+    """
+    return _dct_jit(_prep_real(x), _check_type(type), axis,
+                    check_norm(norm), False)
+
+
+def idct(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Inverse DCT: idct(dct(x, type=t), type=t) == x for every norm."""
+    return _dct_jit(_prep_real(x), _check_type(type), axis,
+                    check_norm(norm), True)
+
+
+def dst(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Forward DST of the given type (1-4) along ``axis``."""
+    return _dst_jit(_prep_real(x), _check_type(type), axis,
+                    check_norm(norm), False)
+
+
+def idst(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Inverse DST: idst(dst(x, type=t), type=t) == x for every norm."""
+    return _dst_jit(_prep_real(x), _check_type(type), axis,
+                    check_norm(norm), True)

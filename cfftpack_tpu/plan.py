@@ -108,8 +108,8 @@ def fft_next_fast_size(n: int) -> int:
     """Next 5-smooth size >= n (cfftextra.c:20-38 behavior)."""
     nat = _native()
     if nat is not None:
-        return nat.next_fast_size(max(n, 1))
-    n = max(n, 1)
+        return nat.next_fast_size(max(n, 2))
+    n = max(n, 2)  # reference clamps to >= 2 (cfftextra.c:20-38)
     while not is_smooth(n):
         n += 1
     return n
@@ -127,7 +127,7 @@ def fft_next_fast_even_size(n: int) -> int:
 
 def fft_next_fast_size_2nm1(n: int) -> int:
     """Next n >= given such that 2n-1 is 5-smooth (cfftextra.c:48-62)."""
-    n = max(n, 1)
+    n = max(n, 2)  # reference clamps to >= 2
     while not is_smooth(2 * n - 1):
         n += 1
     return n
