@@ -11,6 +11,7 @@ from .plan import (fft_next_fast_size, fft_next_fast_even_size,  # noqa: F401
                    fft_next_fast_size_2nm1, fft_next_fast_size_2np1)
 from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   rfft, irfft, rfft2, irfft2,
-                  dct, idct, dst, idst)
+                  dct, idct, dst, idst, dctn, idctn, dstn, idstn,
+                  gdft, igdft, fftshift, ifftshift)
 
 __version__ = "0.1.0"

@@ -1,3 +1,6 @@
 from .cfft import fft, ifft, fft2, ifft2, fftn, ifftn  # noqa: F401
 from .rfft import rfft, irfft, rfft2, irfft2  # noqa: F401
-from .dct import dct, idct, dst, idst  # noqa: F401
+from .dct import (dct, idct, dst, idst,  # noqa: F401
+                  dctn, idctn, dstn, idstn)
+from .gdft import gdft, igdft  # noqa: F401
+from .shift import fftshift, ifftshift  # noqa: F401

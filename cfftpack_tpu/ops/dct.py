@@ -36,7 +36,7 @@ from ..config import DEFAULT_NORM, check_norm, complex_dtype_of
 from .cfft import _apply_axis, _dft_last_axis
 from .rfft import _rfft_core
 
-__all__ = ["dct", "idct", "dst", "idst"]
+__all__ = ["dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn"]
 
 _SQRT2 = float(np.sqrt(2.0))
 
@@ -257,10 +257,16 @@ def _dst4_apply(x, n: int, mode: int):
     return y * float(np.sqrt(2.0 / n))
 
 
-_FWD = {1: _dct1_apply, 2: _dct2_apply, 3: _dct3_apply, 4: _dct4_apply}
-_FWD_S = {1: _dst1_apply, 2: _dst2_apply, 3: _dst3_apply, 4: _dst4_apply}
-# operator inverse of each type (I and IV are involutions up to scale)
-_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4}
+from .oddtypes import (dct5_apply, dct6_apply, dct7_apply, dct8_apply,
+                       dst5_apply, dst6_apply, dst7_apply, dst8_apply)
+
+_FWD = {1: _dct1_apply, 2: _dct2_apply, 3: _dct3_apply, 4: _dct4_apply,
+        5: dct5_apply, 6: dct6_apply, 7: dct7_apply, 8: dct8_apply}
+_FWD_S = {1: _dst1_apply, 2: _dst2_apply, 3: _dst3_apply, 4: _dst4_apply,
+          5: dst5_apply, 6: dst6_apply, 7: dst7_apply, 8: dst8_apply}
+# operator inverse of each type (I/IV/V/VIII are involutions up to scale;
+# VI and VII are transposes of each other, Martucci 1994)
+_INV_TYPE = {1: 1, 2: 3, 3: 2, 4: 4, 5: 5, 6: 7, 7: 6, 8: 8}
 
 
 def _norm_modes(norm: str) -> tuple[int, int]:
@@ -280,8 +286,8 @@ def _norm_modes(norm: str) -> tuple[int, int]:
 
 def _check_type(t) -> int:
     t = int(t)
-    if t not in (1, 2, 3, 4):
-        raise ValueError(f"transform type must be 1..4, got {t}")
+    if t not in (1, 2, 3, 4, 5, 6, 7, 8):
+        raise ValueError(f"transform type must be 1..8, got {t}")
     return t
 
 
@@ -345,3 +351,54 @@ def idst(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
     """Inverse DST: idst(dst(x, type=t), type=t) == x for every norm."""
     return _dst_jit(_prep_real(x), _check_type(type), axis,
                     check_norm(norm), True)
+
+
+# ------------------------------------------------------------- N-D forms
+
+def _nd_impl(impl, x, t: int, axes, norm: str, inverse: bool):
+    y = x
+    for ax in axes:
+        y = impl(y, t, ax, norm, inverse)
+    return y
+
+
+_dctn_jit = jax.jit(partial(_nd_impl, _dct_impl), static_argnums=(1, 2, 3, 4))
+_dstn_jit = jax.jit(partial(_nd_impl, _dst_impl), static_argnums=(1, 2, 3, 4))
+
+
+def _norm_axes(x, axes):
+    if axes is None:
+        return tuple(range(x.ndim))
+    if isinstance(axes, int):
+        return (axes,)
+    return tuple(int(a) for a in axes)
+
+
+def dctn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    """N-D DCT: separable 1-D passes per axis.
+
+    ``dctn(x, 3, axes=(-2, -1))`` reproduces the reference's
+    ``dct_2d_forward`` (batched cosqmf row+column passes,
+    cfftextra.c:306-395); ``idctn(x, 3, ...)`` its inverse.
+    """
+    x = _prep_real(x)
+    return _dctn_jit(x, _check_type(type), _norm_axes(x, axes),
+                     check_norm(norm), False)
+
+
+def idctn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    x = _prep_real(x)
+    return _dctn_jit(x, _check_type(type), _norm_axes(x, axes),
+                     check_norm(norm), True)
+
+
+def dstn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    x = _prep_real(x)
+    return _dstn_jit(x, _check_type(type), _norm_axes(x, axes),
+                     check_norm(norm), False)
+
+
+def idstn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    x = _prep_real(x)
+    return _dstn_jit(x, _check_type(type), _norm_axes(x, axes),
+                     check_norm(norm), True)

@@ -1,0 +1,36 @@
+"""Spectrum shifts: fftshift / ifftshift (even and odd lengths).
+
+Golden-verified equal to the reference's rotation code
+(cfftextra.c:84-130), which matches numpy semantics: fftshift rolls by
++n//2 (DC to center), ifftshift rolls by -(n//2) == +((n+1)//2); for
+odd n the two differ.  Implemented as jnp.roll — a single XLA
+collective-permute-friendly rotation rather than the reference's
+element-by-element swap loop.
+"""
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+__all__ = ["fftshift", "ifftshift"]
+
+
+def fftshift(x, axes=None):
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    for ax in axes:
+        x = jnp.roll(x, x.shape[ax] // 2, axis=ax)
+    return x
+
+
+def ifftshift(x, axes=None):
+    x = jnp.asarray(x)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    for ax in axes:
+        x = jnp.roll(x, -(x.shape[ax] // 2), axis=ax)
+    return x

@@ -113,7 +113,7 @@ def test_rejects_complex_and_bad_type():
     with pytest.raises(TypeError):
         dct(np.ones(8, dtype=np.complex128))
     with pytest.raises(ValueError):
-        dct(np.ones(8), type=5)
+        dct(np.ones(8), type=9)
     with pytest.raises(ValueError):
         dct(np.ones(1), type=1)  # DCT-I needs n >= 2
 

@@ -172,9 +172,11 @@ def main():
             save(f"gdft_inv_{key}", d2)
             lib.fft_free(ctypes.c_void_p(f))
 
-    # ---- dct_2d: data[i*N+j], i<M, j<N => numpy row-major (M, N) ----
+    # ---- dct_2d: despite the header comment (cfftextra.h:138-139), the
+    # implementation treats the buffer as N rows x M cols row-major
+    # (verified empirically against per-axis 1-D transforms) ----
     for (M, N) in ((4, 4), (8, 6), (6, 10)):
-        x = rng.standard_normal((M, N))
+        x = rng.standard_normal((N, M))
         save(f"dct2d_in_{M}x{N}", x)
         o = run_inplace((M, N), "dct_2d_forward", "dct_2d_inverse",
                         x.copy(), False, "dct_2d_create")
