@@ -1,0 +1,72 @@
+"""Sharded 2-D FFT: row-column with an all-to-all transpose.
+
+Distributed analog of the reference's 2-D driver (cfft2f_,
+fftpack.c:2363-2434: batched 1-D passes per axis, the second pass
+reading with stride ldim).  Here rows are sharded over the mesh; the
+strided second pass becomes one ICI all-to-all (BASELINE.json
+configs[3]: 4096x4096, batch 64).
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ..config import DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale, \
+    inv_scale
+from ..ops.cfft import _dft_last_axis
+
+__all__ = ["fft2_sharded", "ifft2_sharded"]
+
+
+def _core(blk, n0, n1, inverse, axis_name):
+    """blk: local (..., n0/D, n1) block, rows sharded."""
+    a = _dft_last_axis(blk, n1, inverse)          # row FFTs (local)
+    # transpose via all-to-all: shard columns, gather rows
+    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
+                           concat_axis=a.ndim - 2, tiled=True)
+    a = jnp.swapaxes(a, -1, -2)                    # (..., n1/D, n0)
+    a = _dft_last_axis(a, n0, inverse)             # column FFTs (local)
+    a = jnp.swapaxes(a, -1, -2)                    # (..., n0, n1/D)
+    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
+                           concat_axis=a.ndim - 1, tiled=True)
+    return a                                       # (..., n0/D, n1)
+
+
+def _fft2_sharded(x, mesh, axis_name, inverse, norm):
+    x = jnp.asarray(x)
+    cdtype = complex_dtype_of(x.dtype)
+    x = x.astype(cdtype)
+    n0, n1 = x.shape[-2], x.shape[-1]
+    d = mesh.shape[axis_name]
+    if n0 % d or n1 % d:
+        raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
+    lead = len(x.shape[:-2])
+    fs = shard_map(
+        partial(_core, n0=n0, n1=n1, inverse=inverse, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(*([None] * lead), axis_name, None),
+        out_specs=P(*([None] * lead), axis_name, None),
+    )
+    y = fs(x)
+    s = (inv_scale(norm, n0) * inv_scale(norm, n1) if inverse
+         else fwd_scale(norm, n0) * fwd_scale(norm, n1))
+    if s != 1.0:
+        y = y * jnp.asarray(s, dtype=cdtype)
+    return y
+
+
+def fft2_sharded(x, mesh: Mesh, axis_name: str = "data",
+                 norm: str = DEFAULT_NORM):
+    """2-D FFT over the trailing two axes, rows sharded over the mesh.
+
+    Output is sharded the same way as the input (rows over the mesh)."""
+    return _fft2_sharded(x, mesh, axis_name, False, check_norm(norm))
+
+
+def ifft2_sharded(y, mesh: Mesh, axis_name: str = "data",
+                  norm: str = DEFAULT_NORM):
+    return _fft2_sharded(y, mesh, axis_name, True, check_norm(norm))

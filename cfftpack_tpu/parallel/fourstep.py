@@ -1,0 +1,158 @@
+"""Distributed four-step FFT: one long transform sharded across chips.
+
+The in-core ancestor is the reference's row-column decomposition
+(cfft2f_, fftpack.c:2363-2434); distributed, the length-N transform
+becomes an N1 x N2 matrix with ONE all-to-all at the transpose
+(SURVEY.md §5 "long-context equivalent"; BASELINE.json configs[2]:
+len 2^20):
+
+    x[n1*N2 + n2]  laid out as  (N1, N2), n2 sharded
+    1. column FFTs: length-N1 over axis 0   (local)
+    2. twiddle *= exp(-2i pi n2 k1 / N)     (local)
+    3. all_to_all: reshard N1, gather N2    (the ICI transpose)
+    4. row FFTs: length-N2 over axis 1      (local)
+    X[k1 + N1*k2] = out[k1, k2]             (k1 sharded)
+
+Collectives ride the mesh axis — ICI on a slice.  The final
+digit-reversed gather back to natural order is optional (``reorder``):
+spectral pipelines (pointwise multiply then inverse) never need it,
+matching how the reference apps use fft+ifft back-to-back.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+from ..config import DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale, \
+    inv_scale
+from ..ops.cfft import _dft_last_axis
+
+__all__ = ["fft_fourstep", "ifft_fourstep"]
+
+
+def _split(n: int, n_shards: int) -> tuple[int, int]:
+    """Pick N1*N2 == n with N2 divisible by shard count and both factors
+    as square as possible (transpose volume is minimized at sqrt(N))."""
+    best = None
+    for n1 in range(1, n + 1):
+        if n % n1:
+            continue
+        n2 = n // n1
+        if n2 % n_shards or n1 % n_shards:
+            continue
+        score = abs(n1 - n2)
+        if best is None or score < best[0]:
+            best = (score, n1, n2)
+    if best is None:
+        raise ValueError(
+            f"length {n} not splittable as N1*N2 with both divisible by "
+            f"{n_shards} shards")
+    return best[1], best[2]
+
+
+def _core(x2, n1, n2, inverse, axis_name):
+    """Per-shard body: x2 is the local (B, N1, N2/D) block."""
+    sign = 1.0 if inverse else -1.0
+    idx = jax.lax.axis_index(axis_name)
+    d = jax.lax.psum(1, axis_name)
+    n = n1 * n2
+    loc = n2 // d
+    # 1. length-N1 FFTs along axis -2 (move to last axis)
+    a = jnp.swapaxes(x2, -1, -2)                  # (B, N2/D, N1)
+    a = _dft_last_axis(a, n1, inverse)
+    # 2. twiddle: exp(sign*2i pi * n2_global * k1 / n)
+    n2g = (idx * loc + jnp.arange(loc))[:, None]  # global n2 index
+    k1 = jnp.arange(n1)[None, :]
+    tw = jnp.exp(jnp.asarray(sign * 2j * np.pi / n, dtype=a.dtype)
+                 * (n2g * k1).astype(a.real.dtype))
+    a = a * tw
+    # 3. all-to-all: split k1 (last axis), gather n2 -> (B, N2, N1/D)
+    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
+                           concat_axis=a.ndim - 2, tiled=True)
+    # 4. length-N2 FFTs along the gathered axis
+    a = jnp.swapaxes(a, -1, -2)                   # (B, N1/D, N2)
+    a = _dft_last_axis(a, n2, inverse)
+    return a                                      # block [k1_local, k2]
+
+
+def _fourstep(x, mesh, axis_name, inverse, norm, reorder):
+    x = jnp.asarray(x)
+    cdtype = complex_dtype_of(x.dtype)
+    x = x.astype(cdtype)
+    n = x.shape[-1]
+    d = mesh.shape[axis_name]
+    n1, n2 = _split(n, d)
+    lead = x.shape[:-1]
+    x2 = x.reshape(lead + (n1, n2))
+
+    fs = shard_map(
+        partial(_core, n1=n1, n2=n2, inverse=inverse, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(*([None] * len(lead)), None, axis_name),
+        out_specs=P(*([None] * len(lead)), axis_name, None),
+    )
+    y2 = fs(x2)  # (..., N1, N2), X[k1 + N1*k2] = y2[..., k1, k2]
+    s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
+    if s != 1.0:
+        y2 = y2 * jnp.asarray(s, dtype=cdtype)
+    if reorder:
+        # natural order: transpose (k1, k2) -> flat k2-major
+        y = jnp.swapaxes(y2, -1, -2).reshape(lead + (n,))
+        return y
+    return y2
+
+
+def fft_fourstep(x, mesh: Mesh, axis_name: str = "data",
+                 norm: str = DEFAULT_NORM, reorder: bool = True):
+    """Forward FFT over the last axis, length sharded across the mesh.
+
+    ``reorder=False`` returns the (N1, N2) four-step layout (k1 sharded)
+    — compose with :func:`ifft_fourstep` (``reordered=False``) for
+    transform->pointwise->inverse pipelines with zero extra transposes.
+    """
+    return _fourstep(x, mesh, axis_name, False, check_norm(norm), reorder)
+
+
+def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
+                  norm: str = DEFAULT_NORM, reordered: bool = True):
+    """Inverse of :func:`fft_fourstep`.
+
+    With ``reordered=False`` the input is the (N1, N2) four-step layout
+    as produced by ``fft_fourstep(..., reorder=False)``; the inverse
+    runs the mirrored schedule so the composition is exact.
+    """
+    y = jnp.asarray(y)
+    norm = check_norm(norm)
+    if reordered:
+        n = y.shape[-1]
+        d = mesh.shape[axis_name]
+        n1, n2 = _split(n, d)
+        y2 = y.reshape(y.shape[:-1] + (n2, n1))
+        y2 = jnp.swapaxes(y2, -1, -2)
+    else:
+        y2 = y
+        n1, n2 = y2.shape[-2], y2.shape[-1]
+        n = n1 * n2
+    lead = y2.shape[:-2]
+    # mirrored schedule: treat the forward OUTPUT layout (k1, k2) as the
+    # four-step input of the inverse transform with roles of (N1, N2)
+    # swapped: Z[m2*N1... ] — concretely, run _core on the transposed
+    # block with (n1', n2') = (n2, n1).
+    z2 = jnp.swapaxes(y2, -1, -2)  # (..., k2=N2, k1=N1)
+    fs = shard_map(
+        partial(_core, n1=n2, n2=n1, inverse=True, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(*([None] * len(lead)), None, axis_name),
+        out_specs=P(*([None] * len(lead)), axis_name, None),
+    )
+    x2 = fs(z2)  # (..., N2, N1): x[m1 + N2*m2]?? -> natural via transpose
+    s = inv_scale(norm, n)
+    if s != 1.0:
+        x2 = x2 * jnp.asarray(s, dtype=x2.dtype)
+    x = jnp.swapaxes(x2, -1, -2).reshape(lead + (n,))
+    return x

@@ -1,0 +1,142 @@
+"""Distribution layer on the virtual 8-device CPU mesh.
+
+SURVEY.md §4 multi-chip strategy: sharded output == single-device
+output == oracle, on a host-platform mesh
+(xla_force_host_platform_device_count=8, set in conftest.py).
+"""
+import numpy as np
+import pytest
+import jax
+
+import cfftpack_tpu as ct
+from cfftpack_tpu.parallel import (make_mesh, local_mesh, shard_batch,
+                                   pfft, pifft, prfft, pirfft, pdct,
+                                   fft_fourstep, ifft_fourstep,
+                                   fft2_sharded, ifft2_sharded)
+
+TOL = 1e-12
+NDEV = len(jax.devices())
+
+
+def rng_complex(shape, seed=0):
+    r = np.random.default_rng(seed)
+    return r.standard_normal(shape) + 1j * r.standard_normal(shape)
+
+
+def test_mesh_helpers():
+    m = local_mesh()
+    assert m.shape["data"] == NDEV
+    m2 = make_mesh((2, 4), ("data", "model"))
+    assert m2.shape == {"data": 2, "model": 4}
+    with pytest.raises(ValueError):
+        make_mesh((64, 64))
+
+
+def test_batch_sharded_fft_matches_single_device():
+    mesh = local_mesh()
+    x = rng_complex((16, 60), seed=1)
+    xs = shard_batch(x, mesh)
+    got = np.asarray(pfft(xs, mesh))
+    want = np.asarray(ct.fft(x))
+    np.testing.assert_allclose(got, want, atol=TOL)
+    back = np.asarray(pifft(pfft(xs, mesh), mesh))
+    np.testing.assert_allclose(back, x, atol=TOL)
+
+
+def test_batch_sharded_is_local_only():
+    """No collectives may appear in the compiled batch-parallel module."""
+    mesh = local_mesh()
+    x = shard_batch(rng_complex((8, 64), seed=2), mesh)
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    spec = NamedSharding(mesh, P("data", None))
+    f = jax.jit(lambda a: ct.fft(a), in_shardings=spec, out_shardings=spec)
+    txt = f.lower(x).compile().as_text()
+    for coll in ("all-reduce", "all-to-all", "collective-permute",
+                 "all-gather"):
+        assert coll not in txt, f"unexpected collective {coll} in HLO"
+
+
+def test_batch_sharded_rfft_dct():
+    mesh = local_mesh()
+    xr = np.random.default_rng(3).standard_normal((8, 32))
+    xs = shard_batch(xr, mesh)
+    np.testing.assert_allclose(np.asarray(prfft(xs, mesh)),
+                               np.asarray(ct.rfft(xr)), atol=TOL)
+    np.testing.assert_allclose(
+        np.asarray(pirfft(prfft(xs, mesh), 32, mesh)), xr, atol=TOL)
+    np.testing.assert_allclose(np.asarray(pdct(xs, 2, mesh)),
+                               np.asarray(ct.dct(xr, 2)), atol=TOL)
+
+
+@pytest.mark.parametrize("n", [64, 128, 960])
+def test_fourstep_matches_fft(n):
+    mesh = local_mesh()
+    x = rng_complex((n,), seed=n)
+    got = np.asarray(fft_fourstep(x, mesh))
+    want = np.asarray(ct.fft(x))
+    np.testing.assert_allclose(got, want, atol=TOL * n ** 0.5)
+
+
+@pytest.mark.parametrize("n", [64, 960])
+def test_fourstep_roundtrip_natural(n):
+    mesh = local_mesh()
+    x = rng_complex((n,), seed=n + 1)
+    y = fft_fourstep(x, mesh)
+    back = np.asarray(ifft_fourstep(y, mesh))
+    np.testing.assert_allclose(back, x, atol=TOL * n)
+
+
+def test_fourstep_pipeline_no_reorder():
+    """transform -> pointwise -> inverse without the reorder gather."""
+    mesh = local_mesh()
+    n = 128
+    x = rng_complex((n,), seed=9)
+    y2 = fft_fourstep(x, mesh, reorder=False)
+    back = np.asarray(ifft_fourstep(y2, mesh, reordered=False))
+    np.testing.assert_allclose(back, x, atol=TOL * n)
+
+
+def test_fourstep_batched():
+    mesh = local_mesh()
+    x = rng_complex((3, 64), seed=11)
+    got = np.asarray(fft_fourstep(x, mesh))
+    np.testing.assert_allclose(got, np.asarray(ct.fft(x)), atol=TOL * 8)
+
+
+def test_fourstep_ortho_norm():
+    mesh = local_mesh()
+    x = rng_complex((64,), seed=13)
+    got = np.asarray(fft_fourstep(x, mesh, norm="ortho"))
+    np.testing.assert_allclose(got, np.asarray(ct.fft(x, norm="ortho")),
+                               atol=TOL * 8)
+
+
+def test_fourstep_bad_length():
+    mesh = local_mesh()
+    with pytest.raises(ValueError):
+        fft_fourstep(rng_complex((6,), seed=0), mesh)
+
+
+@pytest.mark.parametrize("shape", [(16, 16), (8, 32), (64, 64)])
+def test_fft2_sharded_matches_fft2(shape):
+    mesh = local_mesh()
+    x = rng_complex(shape, seed=shape[0])
+    got = np.asarray(fft2_sharded(x, mesh))
+    want = np.asarray(ct.fft2(x))
+    np.testing.assert_allclose(got, want, atol=TOL * 8)
+    back = np.asarray(ifft2_sharded(fft2_sharded(x, mesh), mesh))
+    np.testing.assert_allclose(back, x, atol=TOL * 8)
+
+
+def test_fft2_sharded_batched():
+    mesh = local_mesh()
+    x = rng_complex((2, 16, 16), seed=21)
+    got = np.asarray(fft2_sharded(x, mesh))
+    np.testing.assert_allclose(got, np.asarray(ct.fft2(x)), atol=TOL * 8)
+
+
+def test_fft2_sharded_uses_one_mesh_dim_of_2d_mesh():
+    m2 = make_mesh((4, 2), ("data", "model"))
+    x = rng_complex((16, 16), seed=23)
+    got = np.asarray(fft2_sharded(x, m2, axis_name="data"))
+    np.testing.assert_allclose(got, np.asarray(ct.fft2(x)), atol=TOL * 8)
