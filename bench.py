@@ -1,0 +1,105 @@
+"""Benchmark: batched 1-D FFT throughput vs HBM roofline on one chip.
+
+Run with the ambient environment (real TPU via the axon tunnel when
+present; falls back to CPU).  Prints ONE JSON line:
+
+    {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+value       = transforms/s for batched split-complex f32 len-1024 FFT
+              (BASELINE.json configs[0] shape: batch 4096), measured as
+              half a fwd+inv round-trip.
+vs_baseline = value / HBM-roofline transforms/s, where the roofline is
+              the chip's measured streaming bandwidth (elementwise add
+              over a larger-than-VMEM array) divided by the ideal FFT
+              traffic of 2*n*8 bytes/transform (one read + one write
+              of both f32 planes).  Target: >=0.80 (BASELINE.md).
+
+Uses the split (re, im) API — the TPU-native path (the XLA TPU backend
+rejects complex dtypes; split planes are the Pallas layout).
+
+Timing: each measurement is ONE jitted lax.fori_loop chaining `reps`
+dependent applications, output materialized on the host; per-iteration
+cost is the slope between two loop lengths.  This cancels dispatch and
+transfer overhead and defeats the axon tunnel's unreliable
+block_until_ready.  The HBM probe uses a >VMEM working set so it
+cannot be satisfied from VMEM residency.
+"""
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def _loop_time(body, state, reps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(s):
+        out = jax.lax.fori_loop(0, reps, lambda i, v: body(v), s)
+        return sum(jnp.sum(o * 1e-6) for o in jax.tree.leaves(out))
+
+    float(prog(state))  # compile + warm
+    t_best = float("inf")
+    for _ in range(5):
+        t0 = time.perf_counter()
+        float(prog(state))
+        t_best = min(t_best, time.perf_counter() - t0)
+    return t_best
+
+
+def _per_iter(body, state, lo: int, hi: int) -> float:
+    t_lo = _loop_time(body, state, lo)
+    t_hi = _loop_time(body, state, hi)
+    return max((t_hi - t_lo) / (hi - lo), 1e-9)
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import cfftpack_tpu as ct
+
+    n = 1024
+    batch = 4096
+    r = np.random.default_rng(0)
+    xr = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
+    xi = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
+
+    def roundtrip(s):
+        a, b = ct.fft_split(s[0], s[1])
+        return ct.ifft_split(a, b)
+
+    t_rt = _per_iter(roundtrip, (xr, xi), lo=4, hi=404)
+    t_fft = t_rt / 2.0
+    transforms_per_s = batch / t_fft
+
+    # HBM streaming bandwidth: add over a > VMEM working set
+    big = jnp.asarray(r.standard_normal((65536, 1024)).astype(np.float32))
+    t_add = _per_iter(lambda s: s + 1e-7, big, lo=4, hi=104)
+    bw_hbm = 2 * big.size * 4 / t_add            # read + write
+
+    bytes_per_transform = 2 * n * 8              # rw of both f32 planes
+    roofline_tps = bw_hbm / bytes_per_transform
+
+    result = {
+        "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
+        "value": round(transforms_per_s, 1),
+        "unit": "transforms/s",
+        "vs_baseline": round(transforms_per_s / roofline_tps, 4),
+        "detail": {
+            "backend": jax.devices()[0].platform,
+            "device": jax.devices()[0].device_kind,
+            "batch": batch,
+            "n": n,
+            "t_fft_us": round(t_fft * 1e6, 2),
+            "hbm_GBps": round(bw_hbm / 1e9, 1),
+            "roofline_transforms_per_s": round(roofline_tps, 1),
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

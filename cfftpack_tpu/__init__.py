@@ -12,6 +12,7 @@ from .plan import (fft_next_fast_size, fft_next_fast_even_size,  # noqa: F401
 from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   rfft, irfft, rfft2, irfft2,
                   dct, idct, dst, idst, dctn, idctn, dstn, idstn,
-                  gdft, igdft, fftshift, ifftshift)
+                  gdft, igdft, fftshift, ifftshift,
+                  fft_split, ifft_split, rfft_split, irfft_split)
 
 __version__ = "0.1.0"

@@ -122,6 +122,17 @@ def _bluestein(x, n: int, inverse: bool):
 
 
 def _dft_last_axis(x, n: int, inverse: bool):
+    """Unscaled DFT over the last axis — complex boundary over the
+    split-real engine (core.py).  TPU-facing code should call
+    core.sfft / the *_split API directly: the XLA TPU backend has no
+    complex support, so this wrapper only executes on CPU."""
+    from . import core
+    yr, yi = core.sfft(jnp.real(x), jnp.imag(x), n, inverse)
+    return jax.lax.complex(yr, yi).astype(x.dtype)
+
+
+def _dft_last_axis_xla_complex(x, n: int, inverse: bool):
+    """Legacy complex-dtype path (kept for A/B testing on CPU)."""
     if plan.needs_bluestein(n):
         return _bluestein(x, n, inverse)
     return _stockham(x, n, inverse)
@@ -206,3 +217,43 @@ def fftn(x, axes=None, norm: str = DEFAULT_NORM):
 
 def ifftn(x, axes=None, norm: str = DEFAULT_NORM):
     return _fftn_impl(x, axes, check_norm(norm), inverse=True)
+
+
+# ------------------------------------------------- split (re, im) API
+# TPU entry points: pairs of real arrays in, pairs out.  The XLA TPU
+# backend rejects complex-typed programs, and split planes are the
+# native layout for Pallas kernels anyway.
+
+def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool):
+    from . import core
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    if xr.shape != xi.shape:
+        raise ValueError("re/im shapes differ")
+    n = xr.shape[axis]
+    axis = axis % xr.ndim
+    move = axis != xr.ndim - 1
+    if move:
+        xr = jnp.moveaxis(xr, axis, -1)
+        xi = jnp.moveaxis(xi, axis, -1)
+    yr, yi = core.sfft(xr, xi, n, inverse)
+    s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
+    if s != 1.0:
+        yr = yr * s
+        yi = yi * s
+    if move:
+        yr = jnp.moveaxis(yr, -1, axis)
+        yi = jnp.moveaxis(yi, -1, axis)
+    return yr, yi
+
+
+_fft_split_jit = jax.jit(_fft_split_impl, static_argnums=(2, 3, 4))
+
+
+def fft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Forward FFT on an (re, im) pair of real arrays — the TPU path."""
+    return _fft_split_jit(xr, xi, axis, check_norm(norm), False)
+
+
+def ifft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM):
+    return _fft_split_jit(xr, xi, axis, check_norm(norm), True)

@@ -42,53 +42,24 @@ def _half_twiddle(n: int) -> np.ndarray:
 
 
 def _rfft_core(x, n: int):
-    """Unscaled forward DFT of real x over the last axis -> n//2+1 bins."""
+    """Unscaled forward DFT of real x over the last axis -> n//2+1 bins.
+
+    Complex boundary over the split engine (core.srfft); see cfft.py's
+    _dft_last_axis note — TPU-facing code uses rfft_split directly.
+    """
+    from . import core
     cdtype = complex_dtype_of(x.dtype)
-    if n == 1:
-        return x.astype(cdtype)
-    if n % 2 == 0:
-        m = n // 2
-        z = x[..., 0::2] + 1j * x[..., 1::2].astype(cdtype)
-        z = z.astype(cdtype)
-        Z = _dft_last_axis(z, m, inverse=False)
-        Zf = jnp.concatenate([Z, Z[..., :1]], axis=-1)       # k = 0..m
-        Zc = jnp.conj(Zf[..., ::-1])                          # conj(Z[m-k])
-        Ze = 0.5 * (Zf + Zc)
-        Zo = -0.5j * (Zf - Zc)
-        W = jnp.asarray(_half_twiddle(n), dtype=cdtype)
-        y = Ze + W * Zo
-    else:
-        z = x.astype(cdtype)
-        y = _dft_last_axis(z, n, inverse=False)[..., : n // 2 + 1]
-    # exact packed layout: imag(DC) = 0; imag(Nyquist) = 0 when n even
-    # (reference zeroes these slots, cfftpack.c:466-471)
-    y = y.at[..., 0].set(jnp.real(y[..., 0]).astype(y.dtype))
-    if n % 2 == 0:
-        y = y.at[..., -1].set(jnp.real(y[..., -1]).astype(y.dtype))
-    return y
+    yr, yi = core.srfft(x, n)
+    return jax.lax.complex(yr, yi).astype(cdtype)
 
 
 def _irfft_core(y, n: int):
     """Unscaled inverse: returns n * x for y = _rfft_core(x).  Real out."""
-    cdtype = y.dtype
-    rdtype = real_dtype_of(cdtype)
-    if n == 1:
-        return jnp.real(y[..., 0:1]).astype(rdtype)
-    if n % 2 == 0:
-        m = n // 2
-        Yc = jnp.conj(y[..., ::-1])                 # conj(Y[m-k]), k=0..m
-        Ze = y + Yc
-        W = jnp.asarray(np.conj(_half_twiddle(n)), dtype=cdtype)
-        Zo = (y - Yc) * W
-        Z = (Ze + 1j * Zo)[..., :m]
-        z = _dft_last_axis(Z, m, inverse=True)       # = 2*m * z_true = n*z
-        out = jnp.stack([jnp.real(z), jnp.imag(z)], axis=-1)
-        return out.reshape(*z.shape[:-1], n).astype(rdtype)
-    # odd n: rebuild full spectrum by conjugate symmetry
-    tail = jnp.conj(y[..., 1:][..., ::-1])
-    full = jnp.concatenate([y, tail], axis=-1)
-    z = _dft_last_axis(full, n, inverse=True)
-    return jnp.real(z).astype(rdtype)
+    from . import core
+    rdtype = real_dtype_of(y.dtype)
+    yr = jnp.real(y).astype(rdtype)
+    yi = jnp.imag(y).astype(rdtype)
+    return core.sirfft(yr, yi, n)
 
 
 def _rfft_impl(x, axis: int, norm: str):
@@ -173,3 +144,58 @@ def irfft2(y, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
     """Inverse 2-D real FFT; ``s = (n0, n1)`` is the real output shape."""
     return _irfft2_jit(y, (int(s[0]), int(s[1])),
                        tuple(int(a) for a in axes), check_norm(norm))
+
+
+# ------------------------------------------------- split (re, im) API
+
+def _rfft_split_impl(x, axis: int, norm: str):
+    from . import core
+    x = jnp.asarray(x)
+    n = x.shape[axis]
+    axis = axis % x.ndim
+    move = axis != x.ndim - 1
+    if move:
+        x = jnp.moveaxis(x, axis, -1)
+    yr, yi = core.srfft(x, n)
+    s = fwd_scale(norm, n)
+    if s != 1.0:
+        yr = yr * s
+        yi = yi * s
+    if move:
+        yr = jnp.moveaxis(yr, -1, axis)
+        yi = jnp.moveaxis(yi, -1, axis)
+    return yr, yi
+
+
+def _irfft_split_impl(yr, yi, n: int, axis: int, norm: str):
+    from . import core
+    yr = jnp.asarray(yr)
+    yi = jnp.asarray(yi)
+    axis = axis % yr.ndim
+    move = axis != yr.ndim - 1
+    if move:
+        yr = jnp.moveaxis(yr, axis, -1)
+        yi = jnp.moveaxis(yi, axis, -1)
+    x = core.sirfft(yr, yi, n)
+    s = inv_scale(norm, n)
+    if s != 1.0:
+        x = x * s
+    if move:
+        x = jnp.moveaxis(x, -1, axis)
+    return x
+
+
+_rfft_split_jit = jax.jit(_rfft_split_impl, static_argnums=(1, 2))
+_irfft_split_jit = jax.jit(_irfft_split_impl, static_argnums=(2, 3, 4))
+
+
+def rfft_split(x, axis: int = -1, norm: str = DEFAULT_NORM):
+    """r2c FFT returning an (re, im) pair of real arrays — the TPU path
+    (the XLA TPU backend rejects complex dtypes; split planes are also
+    the native Pallas layout)."""
+    return _rfft_split_jit(x, axis, check_norm(norm))
+
+
+def irfft_split(yr, yi, n: int, axis: int = -1, norm: str = DEFAULT_NORM):
+    """c2r inverse of an (re, im) packed-spectrum pair."""
+    return _irfft_split_jit(yr, yi, int(n), axis, check_norm(norm))

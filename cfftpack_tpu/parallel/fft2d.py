@@ -36,7 +36,7 @@ def _core(blk, n0, n1, inverse, axis_name):
     return a                                       # (..., n0/D, n1)
 
 
-def _fft2_sharded(x, mesh, axis_name, inverse, norm):
+def _fft2_sharded(x, mesh, axis_name, inverse, norm, batch_axis_name=None):
     x = jnp.asarray(x)
     cdtype = complex_dtype_of(x.dtype)
     x = x.astype(cdtype)
@@ -45,11 +45,14 @@ def _fft2_sharded(x, mesh, axis_name, inverse, norm):
     if n0 % d or n1 % d:
         raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
     lead = len(x.shape[:-2])
+    ls = [None] * lead
+    if batch_axis_name is not None and lead:
+        ls[0] = batch_axis_name
     fs = shard_map(
         partial(_core, n0=n0, n1=n1, inverse=inverse, axis_name=axis_name),
         mesh=mesh,
-        in_specs=P(*([None] * lead), axis_name, None),
-        out_specs=P(*([None] * lead), axis_name, None),
+        in_specs=P(*ls, axis_name, None),
+        out_specs=P(*ls, axis_name, None),
     )
     y = fs(x)
     s = (inv_scale(norm, n0) * inv_scale(norm, n1) if inverse
@@ -60,13 +63,17 @@ def _fft2_sharded(x, mesh, axis_name, inverse, norm):
 
 
 def fft2_sharded(x, mesh: Mesh, axis_name: str = "data",
-                 norm: str = DEFAULT_NORM):
+                 norm: str = DEFAULT_NORM,
+                 batch_axis_name: str | None = None):
     """2-D FFT over the trailing two axes, rows sharded over the mesh.
 
     Output is sharded the same way as the input (rows over the mesh)."""
-    return _fft2_sharded(x, mesh, axis_name, False, check_norm(norm))
+    return _fft2_sharded(x, mesh, axis_name, False, check_norm(norm),
+                         batch_axis_name)
 
 
 def ifft2_sharded(y, mesh: Mesh, axis_name: str = "data",
-                  norm: str = DEFAULT_NORM):
-    return _fft2_sharded(y, mesh, axis_name, True, check_norm(norm))
+                  norm: str = DEFAULT_NORM,
+                  batch_axis_name: str | None = None):
+    return _fft2_sharded(y, mesh, axis_name, True, check_norm(norm),
+                         batch_axis_name)

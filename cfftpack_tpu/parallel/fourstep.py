@@ -80,7 +80,16 @@ def _core(x2, n1, n2, inverse, axis_name):
     return a                                      # block [k1_local, k2]
 
 
-def _fourstep(x, mesh, axis_name, inverse, norm, reorder):
+def _lead_spec(lead_ndim: int, batch_axis_name):
+    """PartitionSpec entries for leading (batch) axes: axis 0 may be
+    sharded over a second mesh axis (dp x tp composition)."""
+    spec = [None] * lead_ndim
+    if batch_axis_name is not None and lead_ndim:
+        spec[0] = batch_axis_name
+    return spec
+
+
+def _fourstep(x, mesh, axis_name, inverse, norm, reorder, batch_axis_name):
     x = jnp.asarray(x)
     cdtype = complex_dtype_of(x.dtype)
     x = x.astype(cdtype)
@@ -90,11 +99,12 @@ def _fourstep(x, mesh, axis_name, inverse, norm, reorder):
     lead = x.shape[:-1]
     x2 = x.reshape(lead + (n1, n2))
 
+    ls = _lead_spec(len(lead), batch_axis_name)
     fs = shard_map(
         partial(_core, n1=n1, n2=n2, inverse=inverse, axis_name=axis_name),
         mesh=mesh,
-        in_specs=P(*([None] * len(lead)), None, axis_name),
-        out_specs=P(*([None] * len(lead)), axis_name, None),
+        in_specs=P(*ls, None, axis_name),
+        out_specs=P(*ls, axis_name, None),
     )
     y2 = fs(x2)  # (..., N1, N2), X[k1 + N1*k2] = y2[..., k1, k2]
     s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
@@ -108,18 +118,21 @@ def _fourstep(x, mesh, axis_name, inverse, norm, reorder):
 
 
 def fft_fourstep(x, mesh: Mesh, axis_name: str = "data",
-                 norm: str = DEFAULT_NORM, reorder: bool = True):
+                 norm: str = DEFAULT_NORM, reorder: bool = True,
+                 batch_axis_name: str | None = None):
     """Forward FFT over the last axis, length sharded across the mesh.
 
     ``reorder=False`` returns the (N1, N2) four-step layout (k1 sharded)
     — compose with :func:`ifft_fourstep` (``reordered=False``) for
     transform->pointwise->inverse pipelines with zero extra transposes.
     """
-    return _fourstep(x, mesh, axis_name, False, check_norm(norm), reorder)
+    return _fourstep(x, mesh, axis_name, False, check_norm(norm), reorder,
+                     batch_axis_name)
 
 
 def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
-                  norm: str = DEFAULT_NORM, reordered: bool = True):
+                  norm: str = DEFAULT_NORM, reordered: bool = True,
+                  batch_axis_name: str | None = None):
     """Inverse of :func:`fft_fourstep`.
 
     With ``reordered=False`` the input is the (N1, N2) four-step layout
@@ -144,11 +157,12 @@ def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
     # swapped: Z[m2*N1... ] — concretely, run _core on the transposed
     # block with (n1', n2') = (n2, n1).
     z2 = jnp.swapaxes(y2, -1, -2)  # (..., k2=N2, k1=N1)
+    ls = _lead_spec(len(lead), batch_axis_name)
     fs = shard_map(
         partial(_core, n1=n2, n2=n1, inverse=True, axis_name=axis_name),
         mesh=mesh,
-        in_specs=P(*([None] * len(lead)), None, axis_name),
-        out_specs=P(*([None] * len(lead)), axis_name, None),
+        in_specs=P(*ls, None, axis_name),
+        out_specs=P(*ls, axis_name, None),
     )
     x2 = fs(z2)  # (..., N2, N1): x[m1 + N2*m2]?? -> natural via transpose
     s = inv_scale(norm, n)
