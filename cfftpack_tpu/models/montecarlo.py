@@ -1,0 +1,117 @@
+"""Monte-Carlo / quasi-Monte-Carlo spectral applications.
+
+* ``vg_mc_price`` — back out the Variance-Gamma PDF from its
+  characteristic function by FFT, build the CDF, inverse-CDF sample it,
+  price a call (test/vg_mc.cpp:27-114).  Sampling is one vectorized
+  searchsorted over all draws (the reference loops lower_bound per
+  draw).
+* ``brownian_paths_qmc`` / ``asian_option_qmc`` — Brownian paths from
+  Halton points via inverse normal CDF + orthonormal DCT-IV (the
+  PCA-equivalent construction, Leobacher 2012; test/montecarlo.c:37-57),
+  batched: ALL samples form one (samples, steps) array and one batched
+  DCT-IV builds every path at once.
+"""
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.dct import dct
+from ..ops.cfft import fft_split, ifft_split
+from ..ops.shift import fftshift, ifftshift
+from ..utils.qmc import halton, normal_icdf
+from .chfun import vg_cf, cf_moment_sigma
+
+__all__ = ["vg_mc_price", "asian_option_qmc", "brownian_paths_qmc"]
+
+
+def vg_distribution_grid(sigma, theta, kappa, r, t, n: int = 2048):
+    """(outcomes, pdf) for the VG log-return over [0, t] via FFT
+    propagation of a delta distribution (vg_mc.cpp:38-77)."""
+    N = int(n)
+    N2 = N // 2
+
+    def phi(u, dt=t):
+        return vg_cf(u, dt, sigma, theta, kappa, r)
+
+    vgsigma = cf_moment_sigma(lambda u, dt: phi(u), t)
+    L = 2 * 10 * vgsigma
+    dx = L / N
+    du = 2 * np.pi / (dx * N)
+    prob = np.zeros(N)
+    prob[N2] = 1.0
+    u = (np.arange(N) - N2) * du
+    ph = np.conj(phi(u))                      # forward-in-time propagation
+
+    @jax.jit
+    def run(p, pr, pi):
+        sr, si = fft_split(p, jnp.zeros_like(p))
+        sr, si = fftshift(sr), fftshift(si)
+        tr = sr * pr - si * pi
+        ti = sr * pi + si * pr
+        tr, ti = ifftshift(tr), ifftshift(ti)
+        outr, _ = ifft_split(tr, ti)
+        return outr
+
+    pdf = np.asarray(run(jnp.asarray(prob), jnp.asarray(ph.real),
+                         jnp.asarray(ph.imag)))
+    outcomes = (np.arange(N) - N2) * dx
+    return outcomes, pdf
+
+
+def vg_mc_price(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
+                r=0.05, t=1.0, n: int = 2048, samples: int = 100000,
+                seed: int = 0):
+    """VG call by inverse-CDF Monte Carlo over the FFT-derived
+    distribution (vg_mc.cpp end-to-end)."""
+    outcomes, pdf = vg_distribution_grid(sigma, theta, kappa, r, t, n)
+    cumdist = np.cumsum(pdf)
+    key = jax.random.PRNGKey(seed)
+    p = np.asarray(jax.random.uniform(key, (samples,), dtype=jnp.float32),
+                   dtype=np.float64)
+    j = np.searchsorted(cumdist, p)
+    j = np.minimum(j, len(outcomes) - 1)
+    x = outcomes[j]
+    payoff = np.maximum(np.exp(x) * S - K, 0.0)
+    return float(payoff.mean() * np.exp(-r * t))
+
+
+def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
+    """(n_paths, steps) standard-normal increments with QMC structure:
+    Halton -> inverse normal CDF -> orthonormal DCT-IV
+    (montecarlo.c:37-57; fft_ortho(dct4, true))."""
+    pts = halton(np.arange(start_index, start_index + n_paths), steps)
+    z = normal_icdf(jnp.asarray(pts))
+    return dct(z, type=4, norm="ortho")
+
+
+def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
+                     steps: int = 128, samples: int = 2000,
+                     is_call=False, qmc=True, run_index: int = 0,
+                     seed: int = 0):
+    """Arithmetic-average Asian option, fully batched
+    (montecarlo.c:63-103): every sample path is a row; the path build,
+    cumulative product and payoff average are single array ops."""
+    if steps % 2:
+        raise ValueError("steps must be even (DCT-IV path construction)")
+    dt = t / steps
+    var = sigma * np.sqrt(dt)
+    drift = (r - 0.5 * sigma * sigma) * dt
+    if qmc:
+        index = samples * run_index
+        z = brownian_paths_qmc(samples, steps, start_index=index + 1)
+    else:
+        key = jax.random.PRNGKey(seed + run_index)
+        z = jax.random.normal(key, (samples, steps), dtype=jnp.float64)
+
+    @jax.jit
+    def value(zmat):
+        logret = zmat * var + drift
+        s_path = S * jnp.exp(jnp.cumsum(logret, axis=-1))
+        pay = (jnp.maximum(s_path - K, 0.0) if is_call
+               else jnp.maximum(K - s_path, 0.0))
+        avg = jnp.mean(pay, axis=-1)          # average over path steps
+        return jnp.mean(avg) * np.exp(-r * t)
+
+    return float(value(z))

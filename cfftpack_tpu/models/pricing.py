@@ -1,0 +1,78 @@
+"""Convolution option pricer (Lord et al 2008 / Carr-Madan family).
+
+Re-design of the reference's ``conv_bsvg_option`` (test/vargamma.c:
+42-106: payoff grid -> rfft -> multiply by the characteristic function
+-> irfft -> read the at-the-money point), batched TPU-first:
+
+* strikes are a leading batch axis — one transform prices the whole
+  strike ladder (the reference loops strike-by-strike);
+* the spectrum multiply uses the STANDARD packed layout, so the factor
+  is conj(phi) (the reference multiplies phi into its 2*conj packing,
+  which is the same operation — see compat.py);
+* device code is all-real: split (re, im) characteristic-function
+  constants from chfun.py (host numpy) + rfft_split/irfft_split.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..ops.rfft import rfft_split, irfft_split
+from ..plan import fft_next_fast_even_size
+from .chfun import bs_cf, vg_cf
+
+__all__ = ["conv_option_price", "conv_bsvg_option"]
+
+
+@partial(jax.jit, static_argnums=(3,))
+def _conv_kernel(V, phir, phii, n: int):
+    sr, si = rfft_split(V)                     # (B, n//2+1), fftpack norm
+    # multiply by conj(phi): (sr + i si)(pr - i pi)
+    tr = sr * phir + si * phii
+    ti = si * phir - sr * phii
+    return irfft_split(tr, ti, n)
+
+
+def conv_option_price(S, K, t, r, phi_fn, n: int = 1 << 14,
+                      grid_sigma=None, is_call=True):
+    """Price European options by FFT convolution.
+
+    ``K`` may be a scalar or an array of strikes (batched).
+    ``phi_fn(u)`` -> complex ndarray: characteristic function of the
+    log-price increment over [0, t] including drift.
+    ``grid_sigma`` sets the log-price grid width L = 20*sigma*sqrt(t)
+    (the reference's rule of thumb, vargamma.c:52).
+    """
+    K = np.atleast_1d(np.asarray(K, dtype=np.float64))
+    N = fft_next_fast_even_size(n)
+    N2 = N // 2
+    if grid_sigma is None:
+        raise ValueError("grid_sigma is required (sets the grid width)")
+    L = 2 * 10 * grid_sigma * np.sqrt(t)
+    ds = L / N
+    du = 2 * np.pi / (ds * N)
+    i = np.arange(N)
+    s = np.log(S) + (N2 - i) * ds                  # (N,) log-price grid
+    payoff = (np.maximum(np.exp(s)[None, :] - K[:, None], 0.0) if is_call
+              else np.maximum(K[:, None] - np.exp(s)[None, :], 0.0))
+    u = np.arange(N2 + 1) * du
+    phi = np.asarray(phi_fn(u), dtype=np.complex128)
+    out = _conv_kernel(jnp.asarray(payoff),
+                       jnp.asarray(phi.real), jnp.asarray(phi.imag), N)
+    value = np.asarray(out)[:, N2] * np.exp(-r * t)
+    return value if value.size > 1 else float(value[0])
+
+
+def conv_bsvg_option(n, S, K, sigma, theta, kappa, t, r,
+                     is_call=True, is_bs=True):
+    """Signature-compatible analog of the reference's conv_bsvg_option
+    (vargamma.c:42): Black-Scholes or Variance-Gamma by flag."""
+    if is_bs:
+        phi_fn = lambda u: bs_cf(u, t, sigma, r)        # noqa: E731
+    else:
+        phi_fn = lambda u: vg_cf(u, t, sigma, theta, kappa, r)  # noqa: E731
+    return conv_option_price(S, K, t, r, phi_fn, n=n, grid_sigma=sigma,
+                             is_call=is_call)

@@ -1,0 +1,7 @@
+"""Numerics utilities for the spectral finance apps (reference:
+test/util.{h,c} — xorshift PRNG, Acklam inverse normal CDF, Halton
+sequence, Black-Scholes closed form — re-designed vectorized/jittable).
+"""
+from .qmc import (normal_cdf, normal_icdf, halton, primes,  # noqa: F401
+                  black_scholes_option)
+from .roots import brent  # noqa: F401

@@ -1,0 +1,167 @@
+"""Finance applications: acceptance tests vs closed forms and the
+reference's published anchors (test/vargamma.c:117-119 QuantLib target;
+blackscholes.cpp strike table; montecarlo.c QMC variance reduction)."""
+import numpy as np
+import pytest
+
+from cfftpack_tpu.models import (conv_bsvg_option, conv_option_price,
+                                 vg_mc_price, asian_option_qmc,
+                                 brownian_paths_qmc, bs_cf, vg_cf,
+                                 cf_moment_sigma, ShortRateMesh,
+                                 callable_bond_demo)
+from cfftpack_tpu.models.chfun import normal_cf, nig_cf, alpha_stable_cf
+from cfftpack_tpu.utils import (normal_cdf, normal_icdf, halton, primes,
+                                black_scholes_option, brent)
+
+# reference benchmark parameters (vargamma.c:108-121)
+S, K, SIGMA, THETA, KAPPA, R, T = 100.0, 98.0, 0.12, -0.14, 0.2, 0.05, 1.0
+VG_TARGET = 9.3424659413582116       # QuantLib (vargammaql.cpp)
+VG_CONV = 9.342473370823516          # reference conv pricer at N=2^18
+# (the comment in vargamma.c:119 claims 9.3424663333837259, but the
+#  reference BINARY actually converges to 9.34247337 — verified by
+#  compiling and running it; our pricer matches it digit-for-digit)
+
+
+def test_black_scholes_closed_form():
+    c = float(black_scholes_option(S, K, SIGMA, T, R, True))
+    p = float(black_scholes_option(S, K, SIGMA, T, R, False))
+    # put-call parity
+    np.testing.assert_allclose(c - p, S - K * np.exp(-R * T), atol=1e-10)
+    assert 8.0 < c < 10.0
+
+
+def test_conv_pricer_bs_converges_to_closed_form():
+    cbs = float(black_scholes_option(S, K, SIGMA, T, R, True))
+    prev_err = None
+    for n in (1 << 10, 1 << 14, 1 << 16):
+        c = conv_bsvg_option(n, S, K, SIGMA, THETA, KAPPA, T, R,
+                             is_call=True, is_bs=True)
+        err = abs(c - cbs)
+        if prev_err is not None:
+            assert err <= prev_err * 1.01
+        prev_err = err
+    assert prev_err < 2e-8
+
+
+def test_conv_pricer_vg_hits_quantlib_target():
+    c = conv_bsvg_option(1 << 16, S, K, SIGMA, THETA, KAPPA, T, R,
+                         is_call=True, is_bs=False)
+    # the reference binary's convergence differs from QuantLib by 7.4e-6
+    assert abs(c - VG_CONV) < 1e-7
+    assert abs(c - VG_TARGET) < 1e-5
+
+
+def test_conv_pricer_strike_ladder_batched():
+    """Strike table of blackscholes.cpp:82-108 in ONE batched call."""
+    sig, t, r = 0.15, 1.0 / 12.0, 0.03
+    strikes = np.arange(85.0, 115.1, 2.5)
+    got = conv_option_price(S, strikes, t, r,
+                            lambda u: bs_cf(u, t, sig, r),
+                            n=8192, grid_sigma=sig, is_call=True)
+    want = np.asarray(black_scholes_option(S, strikes, sig, t, r, True))
+    # reference prints % error ~1e-5 level at N=8192
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_conv_pricer_put():
+    sig, t, r = 0.15, 1.0 / 12.0, 0.03
+    got = conv_option_price(S, 100.0, t, r,
+                            lambda u: bs_cf(u, t, sig, r),
+                            n=8192, grid_sigma=sig, is_call=False)
+    want = float(black_scholes_option(S, 100.0, sig, t, r, False))
+    np.testing.assert_allclose(got, want, rtol=2e-4, atol=2e-4)
+
+
+def test_normal_icdf_accuracy():
+    np.testing.assert_allclose(float(normal_icdf(0.975)),
+                               1.959963984540054, atol=1e-9)
+    x = np.linspace(-5, 5, 101)
+    back = np.asarray(normal_icdf(normal_cdf(x)))
+    np.testing.assert_allclose(back, x, atol=1e-8)
+    assert np.isinf(float(normal_icdf(0.0)))
+    assert np.isinf(float(normal_icdf(1.0)))
+
+
+def test_primes_and_halton():
+    ps = primes(10)
+    np.testing.assert_array_equal(ps, [2, 3, 5, 7, 11, 13, 17, 19, 23, 29])
+    assert primes(512)[-1] == 3671  # matches the reference's table end
+    # radical inverse base 2: 1->0.5, 2->0.25, 3->0.75
+    h = halton(np.array([1, 2, 3]), 2)
+    np.testing.assert_allclose(h[:, 0], [0.5, 0.25, 0.75])
+    np.testing.assert_allclose(h[:, 1], [1 / 3, 2 / 3, 1 / 9])
+
+
+def test_qmc_paths_are_standard_normal_ish():
+    z = np.asarray(brownian_paths_qmc(512, 64))
+    assert z.shape == (512, 64)
+    assert abs(z.mean()) < 0.05
+    assert abs(z.std() - 1.0) < 0.05
+
+
+def test_asian_qmc_beats_mc_variance():
+    """montecarlo.c's acceptance: QMC stdev < MC stdev across runs."""
+    runs = 12
+    qmc = [asian_option_qmc(samples=500, qmc=True, run_index=i)
+           for i in range(runs)]
+    mc = [asian_option_qmc(samples=500, qmc=False, run_index=i, seed=7)
+          for i in range(runs)]
+    assert np.std(qmc, ddof=1) < np.std(mc, ddof=1)
+    # both estimate the same price
+    assert abs(np.mean(qmc) - np.mean(mc)) < 0.15
+
+
+def test_vg_mc_price_near_conv_price():
+    mc = vg_mc_price(S, K, SIGMA, THETA, KAPPA, R, T, samples=200000,
+                     seed=1)
+    assert abs(mc - VG_TARGET) < 0.2   # MC error at 200k samples
+
+
+def test_cf_moment_sigma():
+    # for GBM the stddev over t is sigma*sqrt(t)
+    phi = lambda u, dt: bs_cf(u, T, 0.2, 0.0)      # noqa: E731
+    est = cf_moment_sigma(phi, T)
+    np.testing.assert_allclose(est, 0.2, rtol=1e-3)
+    with pytest.raises(ValueError):
+        cf_moment_sigma(lambda u, dt: np.complex128(2.0), 1.0)
+
+
+def test_brent_root():
+    assert abs(brent(lambda x: x ** 2 - 4, guess=1.0) - 2.0) < 1e-12
+    assert abs(brent(np.cos, guess=1.0) - np.pi / 2) < 1e-12
+
+
+@pytest.mark.parametrize("model,conv", [(1, "linear"), (0, "exponential")])
+def test_shortrate_mesh_fits_curve(model, conv):
+    """After fit(), Arrow-Debreu prices must reprice the zero curve."""
+    sigma = 0.01 if model == 1 else 0.275
+    times = np.linspace(0.0, 5.0, 41)
+    mesh = ShortRateMesh(256, times, normal_cf(sigma),
+                         mean_reversion=0.01, conv=conv)
+    disc = np.exp(-0.02 * times)
+    mesh.fit(disc)
+    # sum of AD prices at each step == fitted discount factor
+    for i in (5, 20, 40):
+        np.testing.assert_allclose(mesh.ad[i].sum(), disc[i], rtol=1e-8)
+
+
+def test_callable_bond_demo_consistency():
+    straight, pv_check, callable_pv = callable_bond_demo(
+        model=1, nstep=60, n_fft=256, maturity=5.0)
+    # unreachable strike reprices the straight bond
+    np.testing.assert_allclose(pv_check, straight, rtol=1e-6)
+    # the call feature cannot make the bond worth more
+    assert callable_pv <= straight + 1e-6
+    assert callable_pv > 0.5 * straight
+
+
+def test_chfun_sanity():
+    u = np.linspace(-5, 5, 11)
+    for phi in (nig_cf(100.14, 5.52, 6.361e-5),
+                alpha_stable_cf(1.8, 0.0, 0.08),
+                normal_cf(0.1)):
+        v = phi(u, 0.5)
+        assert np.all(np.abs(v) <= 1.0 + 1e-12)
+        np.testing.assert_allclose(phi(0.0, 0.5), 1.0, atol=1e-12)
+    np.testing.assert_allclose(vg_cf(0.0, T, SIGMA, THETA, KAPPA, R), 1.0,
+                               atol=1e-12)
