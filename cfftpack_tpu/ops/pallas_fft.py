@@ -111,8 +111,9 @@ def _butterfly_ax1(Tr, Ti, p: int, inverse: bool):
         return (st([ar + cr, br + dr, ar - cr, br - dr]),
                 st([ai + ci, bi + di, ai - ci, bi - di]))
     if p == 5:
-        c1, s1 = np.cos(2 * np.pi / 5), np.sin(2 * np.pi / 5)
-        c2, s2 = np.cos(4 * np.pi / 5), np.sin(4 * np.pi / 5)
+        # Python floats (weak types): np scalars would promote f32 -> f64
+        c1, s1 = float(np.cos(2 * np.pi / 5)), float(np.sin(2 * np.pi / 5))
+        c2, s2 = float(np.cos(4 * np.pi / 5)), float(np.sin(4 * np.pi / 5))
         t1r, t1i = R[1] + R[4], I[1] + I[4]
         t2r, t2i = R[2] + R[3], I[2] + I[3]
         t3r, t3i = R[1] - R[4], I[1] - I[4]
