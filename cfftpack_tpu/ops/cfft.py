@@ -79,7 +79,7 @@ def _butterfly(T, p: int, inverse: bool):
     if inverse:
         D = np.conj(D)
     D = jnp.asarray(D, dtype=T.dtype)
-    return jnp.einsum("kp,...pj->...kj", D, T)
+    return jnp.einsum("kp,...pj->...kj", D, T, preferred_element_type=T.dtype)
 
 
 def _stockham(x, n: int, inverse: bool):

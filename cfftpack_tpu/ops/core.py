@@ -18,6 +18,7 @@ the working dtype at trace time.
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .. import plan
@@ -83,10 +84,14 @@ def _butterfly(Tr, Ti, p: int, inverse: bool):
         D = np.conj(D)
     Dr = jnp.asarray(D.real, dtype=Tr.dtype)
     Di = jnp.asarray(D.imag, dtype=Tr.dtype)
-    Yr = (jnp.einsum("kp,...pj->...kj", Dr, Tr)
-          - jnp.einsum("kp,...pj->...kj", Di, Ti))
-    Yi = (jnp.einsum("kp,...pj->...kj", Dr, Ti)
-          + jnp.einsum("kp,...pj->...kj", Di, Tr))
+    Yr = (jnp.einsum("kp,...pj->...kj", Dr, Tr, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Tr.dtype)
+          - jnp.einsum("kp,...pj->...kj", Di, Ti, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Ti.dtype))
+    Yi = (jnp.einsum("kp,...pj->...kj", Dr, Ti, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Ti.dtype)
+          + jnp.einsum("kp,...pj->...kj", Di, Tr, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Tr.dtype))
     return Yr, Yi
 
 
@@ -225,3 +230,28 @@ def sirfft(yr, yi, n: int):
     fi = jnp.concatenate([yi, ti], axis=-1)
     zr, _ = sfft(fr, fi, n, inverse=True)
     return zr
+
+
+# ----------------------------------------------- shifted DFT (split)
+
+def s_shifted_dft_real(x, n: int, m: int, a: float, b: float, nout: int):
+    """U[k] = sum_{j<n} x[j] e^{-2i pi (j+a)(k+b)/m} for REAL x,
+    zero-padded to m, returned as an (re, im) pair of nout bins.
+
+    Split-real version of gdft.shifted_dft_padded — the workhorse of
+    DCT-IV and the odd types V-VIII, TPU-executable.
+    """
+    j = np.arange(m)
+    pre = np.exp(-2j * np.pi * (j + a) * b / m)
+    k = np.arange(nout)
+    post = np.exp(-2j * np.pi * k * a / m)
+    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
+    xp = jnp.pad(x, pad)
+    ar = xp * jnp.asarray(pre.real, dtype=x.dtype)
+    ai = xp * jnp.asarray(pre.imag, dtype=x.dtype)
+    Ar, Ai = sfft(ar, ai, m, inverse=False)
+    Ar = Ar[..., :nout]
+    Ai = Ai[..., :nout]
+    pr = jnp.asarray(post.real, dtype=x.dtype)
+    pi_ = jnp.asarray(post.imag, dtype=x.dtype)
+    return Ar * pr - Ai * pi_, Ar * pi_ + Ai * pr

@@ -53,30 +53,38 @@ def _cexp_half(n: int, sign: float) -> np.ndarray:
 # oracles, /root/reference/test/naivepack.c:12-228).
 
 def _dct2_core(x, n: int):
-    """y[k] = sum_j x[j] cos(pi*k*(2j+1)/(2n))  (Makhoul N-point)."""
+    """y[k] = sum_j x[j] cos(pi*k*(2j+1)/(2n))  (Makhoul N-point).
+
+    Split-real internals (core.sfft): real in -> real out with no
+    complex dtype anywhere, so every DCT/DST runs on the TPU backend.
+    """
+    from . import core
     if n == 1:
         return x
-    half = (n + 1) // 2
     v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
-    cdtype = complex_dtype_of(x.dtype)
-    V = _dft_last_axis(v.astype(cdtype), n, inverse=False)
-    ph = jnp.asarray(_cexp_half(n, -1.0), dtype=cdtype)
-    del half
-    return jnp.real(ph * V).astype(x.dtype)
+    Vr, Vi = core.sfft(v, jnp.zeros_like(v), n, inverse=False)
+    ph = _cexp_half(n, -1.0)
+    phr = jnp.asarray(ph.real, dtype=x.dtype)
+    phi = jnp.asarray(ph.imag, dtype=x.dtype)
+    return phr * Vr - phi * Vi
 
 
 def _dct3_core(x, n: int):
     """y[k] = x[0]/2 + sum_{j>=1} x[j] cos(pi*j*(2k+1)/(2n))."""
+    from . import core
     if n == 1:
         return 0.5 * x
-    cdtype = complex_dtype_of(x.dtype)
     xr = x[..., 1:][..., ::-1]  # x[n-k] for k=1..n-1
     pad = jnp.zeros_like(x[..., :1])
     xnk = jnp.concatenate([pad, xr], axis=-1)  # x[n-k], x[n]==0
-    ph = jnp.asarray(_cexp_half(n, +1.0), dtype=cdtype)
-    V = ph * (x.astype(cdtype) - 1j * xnk.astype(cdtype))
-    w = _dft_last_axis(V, n, inverse=True)  # unscaled inverse DFT
-    v = 0.5 * jnp.real(w).astype(x.dtype)
+    ph = _cexp_half(n, +1.0)
+    phr = jnp.asarray(ph.real, dtype=x.dtype)
+    phi = jnp.asarray(ph.imag, dtype=x.dtype)
+    # V = ph * (x - i*xnk)
+    Vr = phr * x + phi * xnk
+    Vi = phi * x - phr * xnk
+    wr, _ = core.sfft(Vr, Vi, n, inverse=True)  # unscaled inverse DFT
+    v = 0.5 * wr
     # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j]
     half = (n + 1) // 2
     out = jnp.zeros_like(v)
@@ -103,19 +111,21 @@ def _dst3_core(x, n: int):
 
 def _dct1_re(x, n: int):
     """Re(DFT of the even extension): x0 + (-1)^k x_{n-1} + 2*sum_mid."""
+    from . import core
     m = 2 * (n - 1)
     ext = jnp.concatenate([x, x[..., 1:-1][..., ::-1]], axis=-1)
-    Y = _rfft_core(ext, m)  # bins 0..n-1
-    return jnp.real(Y).astype(x.dtype)
+    yr, _ = core.srfft(ext, m)  # bins 0..n-1
+    return yr
 
 
 def _dst1_core(x, n: int):
     """y[k] = sum_j x[j] sin(pi*(j+1)*(k+1)/(n+1)) via odd extension."""
+    from . import core
     m = 2 * (n + 1)
     z = jnp.zeros_like(x[..., :1])
     ext = jnp.concatenate([z, x, z, -x[..., ::-1]], axis=-1)
-    Y = _rfft_core(ext, m)  # bins 0..n+1
-    return (-0.5) * jnp.imag(Y[..., 1: n + 1]).astype(x.dtype)
+    _, yi = core.srfft(ext, m)  # bins 0..n+1
+    return (-0.5) * yi[..., 1: n + 1]
 
 
 def _dct4_core(x, n: int):
@@ -125,19 +135,11 @@ def _dct4_core(x, n: int):
     Expressed as pre-ramp * FFT(2n) * post-ramp (the GDFT factorization
     the reference uses for its odd transforms, cfftextra.c:397-479).
     """
+    from . import core
     m = 2 * n
-    cdtype = complex_dtype_of(x.dtype)
-    j = np.arange(m)
-    # (j+.5)(k+.5)/m*2pi = jk*2pi/m + j*pi/m + k*pi/m + pi/(2m)
-    pre = np.exp(-1j * np.pi / m * (j + 0.5))          # e^{-i pi(j+.5)/m}
-    k = np.arange(n)
-    post = np.exp(-1j * np.pi / m * k)                 # e^{-i pi k/m}
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
-    xp = jnp.pad(x.astype(cdtype), pad)
-    a = xp * jnp.asarray(pre, dtype=cdtype)
-    A = _dft_last_axis(a, m, inverse=False)[..., :n]
-    U = A * jnp.asarray(post, dtype=cdtype)
-    return jnp.real(U).astype(x.dtype)
+    # U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)}
+    ur, _ = core.s_shifted_dft_real(x, n, m, 0.5, 0.5, n)
+    return ur
 
 
 def _dst4_core(x, n: int):

@@ -31,7 +31,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from .gdft import shifted_dft_padded
+from .core import s_shifted_dft_real
 
 __all__ = [
     "dct5_apply", "dct6_apply", "dct7_apply", "dct8_apply",
@@ -44,11 +44,11 @@ def _alt(n: int):
 
 
 def _re_u(x, n, m, a, b):
-    return jnp.real(shifted_dft_padded(x, n, m, a, b, n)).astype(x.dtype)
+    return s_shifted_dft_real(x, n, m, a, b, n)[0]
 
 
 def _im_u(x, n, m, a, b):
-    return (-jnp.imag(shifted_dft_padded(x, n, m, a, b, n))).astype(x.dtype)
+    return -s_shifted_dft_real(x, n, m, a, b, n)[1]
 
 
 # Bases: the exact linear maps the reference *_transform functions apply

@@ -133,10 +133,14 @@ def _butterfly_ax1(Tr, Ti, p: int, inverse: bool):
         D = np.conj(D)
     Dr = jnp.asarray(D.real, dtype=Tr.dtype)
     Di = jnp.asarray(D.imag, dtype=Tr.dtype)
-    Yr = (jnp.einsum("kp,lpmt->lkmt", Dr, Tr)
-          - jnp.einsum("kp,lpmt->lkmt", Di, Ti))
-    Yi = (jnp.einsum("kp,lpmt->lkmt", Dr, Ti)
-          + jnp.einsum("kp,lpmt->lkmt", Di, Tr))
+    Yr = (jnp.einsum("kp,lpmt->lkmt", Dr, Tr, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Tr.dtype)
+          - jnp.einsum("kp,lpmt->lkmt", Di, Ti, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Ti.dtype))
+    Yi = (jnp.einsum("kp,lpmt->lkmt", Dr, Ti, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Ti.dtype)
+          + jnp.einsum("kp,lpmt->lkmt", Di, Tr, precision=jax.lax.Precision.HIGHEST,
+                      preferred_element_type=Tr.dtype))
     return Yr, Yi
 
 
