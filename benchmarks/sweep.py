@@ -1,0 +1,111 @@
+"""Benchmark sweeps: per-kernel throughput vs HBM roofline.
+
+Replaces the reference's ad-hoc clock() harnesses (test/test1.c:261-309,
+test/vargamma.c:131-158) with a structured sweep over transform
+families and sizes.  Timing uses the dependency-chained fori_loop slope
+method (see bench.py) — robust to remote-TPU tunnels.
+
+Run:  python benchmarks/sweep.py [--sizes 256,1024,4096] [--batch 4096]
+Emits one JSON line per config.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def loop_time(body, state, reps: int) -> float:
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def prog(s):
+        out = jax.lax.fori_loop(0, reps, lambda i, v: body(v), s)
+        return sum(jnp.sum(o * 1e-6) for o in jax.tree.leaves(out))
+
+    float(prog(state))
+    best = float("inf")
+    for _ in range(4):
+        t0 = time.perf_counter()
+        float(prog(state))
+        best = min(best, time.perf_counter() - t0)
+    return best
+
+
+def per_iter(body, state, lo=4, hi=204) -> float:
+    return max((loop_time(body, state, hi) - loop_time(body, state, lo))
+               / (hi - lo), 1e-9)
+
+
+def hbm_bandwidth() -> float:
+    """Measured streaming bandwidth over a > VMEM working set."""
+    import jax.numpy as jnp
+    big = jnp.ones((65536, 1024), jnp.float32)
+    t = per_iter(lambda s: s + 1e-7, big, lo=4, hi=54)
+    return 2 * big.size * 4 / t
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import cfftpack_tpu as ct
+
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sizes", default="256,1024,4096")
+    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--families", default="fft,rfft,dct2,dct4")
+    args = ap.parse_args()
+    sizes = [int(s) for s in args.sizes.split(",")]
+    fams = args.families.split(",")
+
+    bw = hbm_bandwidth()
+    dev = jax.devices()[0]
+    print(json.dumps({"metric": "hbm_stream_GBps",
+                      "value": round(bw / 1e9, 1),
+                      "device": dev.device_kind, "backend": dev.platform}))
+
+    r = np.random.default_rng(0)
+    for n in sizes:
+        b = args.batch
+        xr = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+        xi = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+        v = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+
+        bodies = {
+            # ideal bytes = sum over the chained transforms of one
+            # read + one write of each transform's operands
+            "fft": (lambda s: ct.ifft_split(*ct.fft_split(s[0], s[1])),
+                    (xr, xi), 2, 2 * (2 * b * n * 8)),
+            "rfft": (lambda s: ct.irfft_split(*ct.rfft_split(s), n),
+                     v, 2, 2 * (b * n * 4 + b * (n + 2) * 8)),
+            "dct2": (lambda s: ct.idct(ct.dct(s, 2), 2), v, 2,
+                     4 * b * n * 4),
+            "dct4": (lambda s: ct.idct(ct.dct(s, 4), 4), v, 2,
+                     4 * b * n * 4),
+        }
+        for fam in fams:
+            if fam not in bodies:
+                continue
+            body, state, ntrans, ideal_bytes = bodies[fam]
+            t = per_iter(body, state)
+            tper = t / ntrans
+            print(json.dumps({
+                "metric": f"{fam}_transforms_per_s",
+                "n": n, "batch": b,
+                "value": round(b / tper, 1),
+                "t_us": round(tper * 1e6, 2),
+                "roofline_frac": round(
+                    (ideal_bytes / ntrans / tper) / bw, 4),
+            }))
+
+
+if __name__ == "__main__":
+    main()
