@@ -13,6 +13,7 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   rfft, irfft, rfft2, irfft2,
                   dct, idct, dst, idst, dctn, idctn, dstn, idstn,
                   gdft, igdft, fftshift, ifftshift,
-                  fft_split, ifft_split, rfft_split, irfft_split)
+                  fft_split, ifft_split, rfft_split, irfft_split,
+                  gdft_split, igdft_split)
 
 __version__ = "0.1.0"

@@ -4,5 +4,5 @@ from .rfft import (rfft, irfft, rfft2, irfft2,  # noqa: F401
                    rfft_split, irfft_split)
 from .dct import (dct, idct, dst, idst,  # noqa: F401
                   dctn, idctn, dstn, idstn)
-from .gdft import gdft, igdft  # noqa: F401
+from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401
 from .shift import fftshift, ifftshift  # noqa: F401

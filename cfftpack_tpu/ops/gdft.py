@@ -29,7 +29,7 @@ from ..config import DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale, \
     inv_scale
 from .cfft import _apply_axis, _dft_last_axis
 
-__all__ = ["gdft", "igdft"]
+__all__ = ["gdft", "igdft", "gdft_split", "igdft_split"]
 
 
 def _ramps(n: int, a: float, b: float):
@@ -99,3 +99,54 @@ def shifted_dft_padded(x, n: int, m: int, a: float, b: float, nout: int):
     y = xp * jnp.asarray(pre[:m], dtype=cdtype)
     Y = _dft_last_axis(y, m, inverse=False)[..., :nout]
     return Y * jnp.asarray(post, dtype=cdtype)
+
+
+# ------------------------------------------------- split (re, im) API
+
+def _gdft_split_impl(xr, xi, a: float, b: float, axis: int, norm: str,
+                     inverse: bool):
+    from . import core
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n = xr.shape[axis]
+    axis = axis % xr.ndim
+    move = axis != xr.ndim - 1
+    if move:
+        xr = jnp.moveaxis(xr, axis, -1)
+        xi = jnp.moveaxis(xi, axis, -1)
+    pre, post = _ramps(n, a, b)
+    if inverse:
+        pre, post = np.conj(pre), np.conj(post)
+    tr = jnp.asarray((post if inverse else pre).real, dtype=xr.dtype)
+    ti = jnp.asarray((post if inverse else pre).imag, dtype=xr.dtype)
+    ar = xr * tr - xi * ti
+    ai = xr * ti + xi * tr
+    yr, yi = core.sfft(ar, ai, n, inverse)
+    tr2 = jnp.asarray((pre if inverse else post).real, dtype=xr.dtype)
+    ti2 = jnp.asarray((pre if inverse else post).imag, dtype=xr.dtype)
+    zr = yr * tr2 - yi * ti2
+    zi = yr * ti2 + yi * tr2
+    s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
+    if s != 1.0:
+        zr = zr * s
+        zi = zi * s
+    if move:
+        zr = jnp.moveaxis(zr, -1, axis)
+        zi = jnp.moveaxis(zi, -1, axis)
+    return zr, zi
+
+
+_gdft_split_jit = jax.jit(_gdft_split_impl, static_argnums=(2, 3, 4, 5, 6))
+
+
+def gdft_split(xr, xi, a: float = 0.0, b: float = 0.0, axis: int = -1,
+               norm: str = DEFAULT_NORM):
+    """Generalized DFT on an (re, im) pair — the TPU path."""
+    return _gdft_split_jit(xr, xi, float(a), float(b), axis,
+                           check_norm(norm), False)
+
+
+def igdft_split(xr, xi, a: float = 0.0, b: float = 0.0, axis: int = -1,
+                norm: str = DEFAULT_NORM):
+    return _gdft_split_jit(xr, xi, float(a), float(b), axis,
+                           check_norm(norm), True)

@@ -30,7 +30,7 @@ import numpy as np
 
 from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
                       inv_scale, real_dtype_of)
-from .cfft import _apply_axis, _dft_last_axis
+from .cfft import _apply_axis
 
 __all__ = ["rfft", "irfft", "rfft2", "irfft2"]
 

@@ -22,7 +22,6 @@ factorization and fast-size search are delegated to it.
 from __future__ import annotations
 
 import functools
-import math
 from typing import Sequence
 
 import numpy as np
