@@ -11,7 +11,9 @@ Here batching is leading array axes, and scale-out is first-class:
   the reference's row-column decomposition, cfft2f_ fftpack.c:2363).
 * :mod:`fft2d` — 2-D FFT with a sharded axis and all-to-all transpose.
 """
-from .mesh import make_mesh, local_mesh  # noqa: F401
+from .mesh import make_mesh, local_mesh, init_distributed  # noqa: F401
 from .batch import shard_batch, pfft, pifft, prfft, pirfft, pdct  # noqa: F401
 from .fourstep import fft_fourstep, ifft_fourstep  # noqa: F401
 from .fft2d import fft2_sharded, ifft2_sharded  # noqa: F401
+from .rowcol import (rowcol2d_sharded, dctn2_sharded,  # noqa: F401
+                     idctn2_sharded, dstn2_sharded)

@@ -38,3 +38,25 @@ def local_mesh(n: int | None = None, axis: str = "data") -> Mesh:
     devs = jax.devices()
     n = len(devs) if n is None else n
     return make_mesh((n,), (axis,), devices=devs[:n])
+
+
+def init_distributed(coordinator: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None):
+    """Initialize multi-host JAX (jax.distributed) for pod slices.
+
+    On Cloud TPU the arguments auto-detect; pass them explicitly for
+    manual clusters.  After this, jax.devices() spans all hosts and
+    the mesh helpers above build global meshes — collectives ride ICI
+    within a slice and DCN across slices (SURVEY.md §2.8/§5).
+    """
+    import jax
+    kwargs = {}
+    if coordinator is not None:
+        kwargs["coordinator_address"] = coordinator
+    if num_processes is not None:
+        kwargs["num_processes"] = num_processes
+    if process_id is not None:
+        kwargs["process_id"] = process_id
+    jax.distributed.initialize(**kwargs)
+    return jax.process_index(), jax.process_count()

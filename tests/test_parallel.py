@@ -140,3 +140,33 @@ def test_fft2_sharded_uses_one_mesh_dim_of_2d_mesh():
     x = rng_complex((16, 16), seed=23)
     got = np.asarray(fft2_sharded(x, m2, axis_name="data"))
     np.testing.assert_allclose(got, np.asarray(ct.fft2(x)), atol=TOL * 8)
+
+
+def test_dctn2_sharded_matches_dctn():
+    from cfftpack_tpu.parallel import dctn2_sharded, idctn2_sharded, \
+        dstn2_sharded
+    mesh = local_mesh()
+    x = np.random.default_rng(31).standard_normal((32, 32))
+    import jax.numpy as jnp
+    got = np.asarray(dctn2_sharded(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(got, np.asarray(ct.dctn(x, 3)), atol=TOL * 8)
+    back = np.asarray(idctn2_sharded(dctn2_sharded(jnp.asarray(x), mesh),
+                                     mesh))
+    np.testing.assert_allclose(back, x, atol=TOL * 32)
+    got_s = np.asarray(dstn2_sharded(jnp.asarray(x), mesh))
+    np.testing.assert_allclose(got_s, np.asarray(ct.dstn(x, 3)),
+                               atol=TOL * 8)
+
+
+def test_rowcol2d_sharded_batched_with_2d_mesh():
+    from cfftpack_tpu.parallel import dctn2_sharded
+    m2 = make_mesh((2, 4), ("data", "model"))
+    x = np.random.default_rng(33).standard_normal((4, 16, 16))
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    xs = jax.device_put(jnp.asarray(x), NamedSharding(m2, P("data", None,
+                                                            None)))
+    got = np.asarray(dctn2_sharded(xs, m2, axis_name="model",
+                                   batch_axis_name="data"))
+    np.testing.assert_allclose(got, np.asarray(ct.dctn(x, 3, axes=(1, 2))),
+                               atol=TOL * 8)
