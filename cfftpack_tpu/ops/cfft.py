@@ -2,22 +2,14 @@
 
 TPU-first re-design of the reference's complex FFT engine
 (``c1fm1f_``/``c1fm1b_`` stage loop, /root/reference/cfftpack/fftpack.c:1931-2142,
-radix kernels ``c1f{2,3,4,5,g}k{f,b}_`` fftpack.c:96-1922):
+radix kernels ``c1f{2,3,4,5,g}k{f,b}_`` fftpack.c:96-1922).
 
-* Same mathematical stage schedule (ip in factor(n), l1*ip*ido = n) but in
-  the *Stockham autosort* formulation: each stage is a radix-p butterfly
-  over a (B, L, p, m/p) view, a twiddle multiply, and an (L, p) axis swap.
-  Natural-order output, no bit-reversal pass, no ping-pong `na` toggle —
-  the data layout at every stage is a dense rectangle, which is what the
-  TPU vector unit and XLA's tiling want.
-* Radices 2/3/4/5 are hard-coded butterflies (adds + a few mults, exactly
-  the classic identities); other small primes use a dense p x p DFT matrix
-  contraction (MXU-friendly; the analog of the generic kernel c1fgkf_).
-* Lengths with a prime factor > plan.MAX_DIRECT_RADIX use Bluestein's
-  chirp-z transform (O(n log n) for ANY n — strictly better than the
-  reference, which degrades to O(n^2) on large primes, cfftextra.h:24-28).
+The numerical engine lives in ops/core.py (split-real Stockham
+autosort + Bluestein); this module provides the complex-dtype
+convenience API (CPU-only — the XLA TPU backend rejects complex
+programs) and the ``*_split`` pair API that runs everywhere.
 
-Everything here is shape-static, trace-friendly, and vmap/shard_map
+Everything is shape-static, trace-friendly, and vmap/shard_map
 compatible: transforms are pure functions over the last axis.
 """
 from __future__ import annotations
@@ -26,99 +18,11 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
-
-from .. import plan
 from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
                       inv_scale)
 
-__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn"]
-
-# Python-float constants (weakly typed under JAX -> no unwanted promotion)
-_SQ3_2 = float(np.sqrt(3.0) / 2.0)
-_C5_1, _S5_1 = float(np.cos(2 * np.pi / 5)), float(np.sin(2 * np.pi / 5))
-_C5_2, _S5_2 = float(np.cos(4 * np.pi / 5)), float(np.sin(4 * np.pi / 5))
-
-
-def _butterfly(T, p: int, inverse: bool):
-    """DFT of length p over axis -2 of T (..., p, m).
-
-    sign convention: forward kernel is exp(-2j*pi*j*k/p); inverse conj.
-    """
-    sgn = 1.0 if inverse else -1.0  # sign of the imaginary (sine) terms
-    Tj = [T[..., j, :] for j in range(p)]
-    if p == 1:
-        return T
-    if p == 2:
-        return jnp.stack([Tj[0] + Tj[1], Tj[0] - Tj[1]], axis=-2)
-    if p == 3:
-        t = Tj[1] + Tj[2]
-        d = Tj[1] - Tj[2]
-        m1 = Tj[0] - 0.5 * t
-        m2 = (sgn * 1j * _SQ3_2) * d
-        return jnp.stack([Tj[0] + t, m1 + m2, m1 - m2], axis=-2)
-    if p == 4:
-        a = Tj[0] + Tj[2]
-        b = Tj[0] - Tj[2]
-        c = Tj[1] + Tj[3]
-        d = (sgn * 1j) * (Tj[1] - Tj[3])
-        return jnp.stack([a + c, b + d, a - c, b - d], axis=-2)
-    if p == 5:
-        t1 = Tj[1] + Tj[4]
-        t2 = Tj[2] + Tj[3]
-        t3 = Tj[1] - Tj[4]
-        t4 = Tj[2] - Tj[3]
-        u0 = Tj[0] + t1 + t2
-        a1 = Tj[0] + _C5_1 * t1 + _C5_2 * t2
-        a2 = Tj[0] + _C5_2 * t1 + _C5_1 * t2
-        b1 = (sgn * 1j) * (_S5_1 * t3 + _S5_2 * t4)
-        b2 = (sgn * 1j) * (_S5_2 * t3 - _S5_1 * t4)
-        return jnp.stack([u0, a1 + b1, a2 + b2, a2 - b2, a1 - b1], axis=-2)
-    # generic small prime: dense DFT matrix on the MXU
-    D = plan.dft_matrix(p)
-    if inverse:
-        D = np.conj(D)
-    D = jnp.asarray(D, dtype=T.dtype)
-    return jnp.einsum("kp,...pj->...kj", D, T, preferred_element_type=T.dtype)
-
-
-def _stockham(x, n: int, inverse: bool):
-    """Unscaled mixed-radix DFT over the last axis of x (..., n)."""
-    if n == 1:
-        return x
-    cdtype = x.dtype
-    shape = x.shape
-    S = x.reshape(-1, 1, n)
-    B = S.shape[0]
-    L, m = 1, n
-    for p, tw in zip(plan.factor(n), plan.stage_twiddles(n)):
-        mn = m // p
-        T = S.reshape(B, L, p, mn)
-        U = _butterfly(T, p, inverse)
-        if mn > 1:  # stage twiddle (all-ones when mn == 1)
-            twc = np.conj(tw) if inverse else tw
-            U = U * jnp.asarray(twc, dtype=cdtype)[None, None]
-        S = jnp.swapaxes(U, 1, 2).reshape(B, L * p, mn)
-        L *= p
-        m = mn
-    return S.reshape(shape)
-
-
-def _bluestein(x, n: int, inverse: bool):
-    """Unscaled DFT of arbitrary length n via the chirp-z transform."""
-    m, chirp, bq = plan.bluestein_tables(n)
-    cdtype = x.dtype
-    if inverse:
-        chirp = np.conj(chirp)
-        bq = np.conj(bq)
-    a = x * jnp.asarray(chirp, dtype=cdtype)
-    pad = [(0, 0)] * (x.ndim - 1) + [(0, m - n)]
-    a = jnp.pad(a, pad)
-    aq = _stockham(a, m, inverse=False)
-    cq = aq * jnp.asarray(bq, dtype=cdtype)
-    # unscaled inverse DFT of length m, then 1/m normalization
-    conv = _stockham(cq, m, inverse=True) * (1.0 / m)
-    return conv[..., :n] * jnp.asarray(chirp, dtype=cdtype)
+__all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
+           "fft_split", "ifft_split"]
 
 
 def _dft_last_axis(x, n: int, inverse: bool):
@@ -129,13 +33,6 @@ def _dft_last_axis(x, n: int, inverse: bool):
     from . import core
     yr, yi = core.sfft(jnp.real(x), jnp.imag(x), n, inverse)
     return jax.lax.complex(yr, yi).astype(x.dtype)
-
-
-def _dft_last_axis_xla_complex(x, n: int, inverse: bool):
-    """Legacy complex-dtype path (kept for A/B testing on CPU)."""
-    if plan.needs_bluestein(n):
-        return _bluestein(x, n, inverse)
-    return _stockham(x, n, inverse)
 
 
 def _apply_axis(x, axis: int, fn):
