@@ -5,3 +5,6 @@ sequence, Black-Scholes closed form — re-designed vectorized/jittable).
 from .qmc import (normal_cdf, normal_icdf, halton, primes,  # noqa: F401
                   black_scholes_option)
 from .roots import brent  # noqa: F401
+from .cache import enable_compilation_cache, warm_plans  # noqa: F401
+from .debug import enable_nan_checks, check_finite  # noqa: F401
+from .profiling import trace, Timer  # noqa: F401
