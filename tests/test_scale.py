@@ -60,3 +60,18 @@ def test_fourstep_batched_weak_scaling_shape():
     y = fft_fourstep(xs, mesh, axis_name="model", batch_axis_name="data")
     want = np.asarray(ct.fft(x))
     np.testing.assert_allclose(np.asarray(y), want, atol=1e-4)
+
+
+def test_config0_batched_f64_1024_roundtrip():
+    """configs[0]: batched f64 1024-pt round-trip vs reference golden +
+    near-bit-stable round-trip (batch shrunk from 4096 for CI time;
+    bench.py runs the full-size config on hardware)."""
+    g = np.load(__file__.rsplit("/", 1)[0] + "/golden/golden.npz")
+    xg = g["fft_in_1024"]
+    np.testing.assert_allclose(np.asarray(ct.fft(xg)), g["fft_fwd_1024"],
+                               atol=1e-12 * 32)
+    r = np.random.default_rng(4)
+    x = (r.standard_normal((64, 1024))
+         + 1j * r.standard_normal((64, 1024)))
+    back = np.asarray(ct.ifft(ct.fft(x)))
+    np.testing.assert_allclose(back, x, atol=1e-13 * 1024)

@@ -78,7 +78,7 @@ def main():
         g[key] = np.asarray(arr)
 
     # ---- complex fft ----
-    for n in (1, 2, 3, 4, 5, 8, 16, 32, 60, 101):
+    for n in (1, 2, 3, 4, 5, 8, 16, 32, 60, 101, 960, 1000, 1024, 1250):
         x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
         save(f"fft_in_{n}", x)
         for ortho in (False, True):
@@ -102,7 +102,7 @@ def main():
                                  ctypes.c_void_p]
     lib.rfft_inverse.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                  ctypes.c_void_p]
-    for n in (2, 3, 4, 5, 8, 16, 32, 60, 101):
+    for n in (2, 3, 4, 5, 8, 16, 32, 60, 101, 960, 1000, 1024, 1250):
         x = rng.standard_normal(n)
         save(f"rfft_in_{n}", x)
         for ortho in (False, True):
@@ -124,15 +124,16 @@ def main():
 
     # ---- real 1-D families, in-place ----
     fams = [
-        ("dct", "dct_forward", "dct_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
-         True),
+        ("dct", "dct_forward", "dct_inverse",
+         (2, 3, 4, 5, 8, 16, 32, 60, 960, 1000, 1250), True),
         ("dct1", "dct1_forward", "dct1_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
          True),
-        ("dst", "dst_forward", "dst_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
-         True),
+        ("dst", "dst_forward", "dst_inverse",
+         (2, 3, 4, 5, 8, 16, 32, 60, 960, 1000, 1250), True),
         ("dst1", "dst1_forward", "dst1_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
          True),
-        ("dct4", "dct4_forward", "dct4_inverse", (2, 4, 8, 16, 32, 60), True),
+        ("dct4", "dct4_forward", "dct4_inverse",
+         (2, 4, 8, 16, 32, 60, 960, 1000, 1250), True),
         ("dst4", "dst4_forward", "dst4_inverse", (2, 4, 8, 16, 32, 60), True),
         ("dct5", "dct5_forward", "dct5_inverse", (2, 3, 4, 5, 8, 13), True),
         ("dct6", "dct6_transform", None, (2, 3, 4, 5, 8, 13), True),
