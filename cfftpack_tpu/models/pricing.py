@@ -37,7 +37,8 @@ def _conv_kernel(V, phir, phii, n: int):
 
 
 def conv_option_price(S, K, t, r, phi_fn, n: int = 1 << 14,
-                      grid_sigma=None, is_call=True):
+                      grid_sigma=None, is_call=True, mesh=None,
+                      batch_axis_name: str = "data"):
     """Price European options by FFT convolution.
 
     ``K`` may be a scalar or an array of strikes (batched).
@@ -45,6 +46,10 @@ def conv_option_price(S, K, t, r, phi_fn, n: int = 1 << 14,
     log-price increment over [0, t] including drift.
     ``grid_sigma`` sets the log-price grid width L = 20*sigma*sqrt(t)
     (the reference's rule of thumb, vargamma.c:52).
+    ``mesh``: optional jax Mesh — the strike ladder is sharded over
+    ``mesh[batch_axis_name]`` and each device prices its shard with the
+    single-chip kernel, zero collectives (BASELINE configs[4]: the
+    pricer end-to-end on a pod slice).
     """
     K = np.atleast_1d(np.asarray(K, dtype=np.float64))
     N = fft_next_fast_even_size(n)
@@ -60,8 +65,22 @@ def conv_option_price(S, K, t, r, phi_fn, n: int = 1 << 14,
               else np.maximum(K[:, None] - np.exp(s)[None, :], 0.0))
     u = np.arange(N2 + 1) * du
     phi = np.asarray(phi_fn(u), dtype=np.complex128)
-    out = _conv_kernel(jnp.asarray(payoff),
-                       jnp.asarray(phi.real), jnp.asarray(phi.imag), N)
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        nb = mesh.shape[batch_axis_name]
+        pad = (-len(K)) % nb
+        if pad:
+            payoff = np.concatenate([payoff, payoff[:1].repeat(pad, 0)], 0)
+        spec = NamedSharding(mesh, P(batch_axis_name, None))
+        pay = jax.device_put(jnp.asarray(payoff), spec)
+        f = jax.jit(partial(_conv_kernel, n=N), in_shardings=(spec, None,
+                                                              None),
+                    out_shardings=spec)
+        out = f(pay, jnp.asarray(phi.real), jnp.asarray(phi.imag))
+        out = out[: len(K)]
+    else:
+        out = _conv_kernel(jnp.asarray(payoff),
+                           jnp.asarray(phi.real), jnp.asarray(phi.imag), N)
     value = np.asarray(out)[:, N2] * np.exp(-r * t)
     return value if value.size > 1 else float(value[0])
 

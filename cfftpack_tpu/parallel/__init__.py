@@ -14,6 +14,9 @@ Here batching is leading array axes, and scale-out is first-class:
 from .mesh import make_mesh, local_mesh, init_distributed  # noqa: F401
 from .batch import shard_batch, pfft, pifft, prfft, pirfft, pdct  # noqa: F401
 from .fourstep import fft_fourstep, ifft_fourstep  # noqa: F401
-from .fft2d import fft2_sharded, ifft2_sharded  # noqa: F401
+from .fourstep_split import (fft_fourstep_split,  # noqa: F401
+                             ifft_fourstep_split)
+from .fft2d import (fft2_sharded, ifft2_sharded,  # noqa: F401
+                    fft2_sharded_split, ifft2_sharded_split)
 from .rowcol import (rowcol2d_sharded, dctn2_sharded,  # noqa: F401
                      idctn2_sharded, dstn2_sharded)

@@ -77,3 +77,69 @@ def ifft2_sharded(y, mesh: Mesh, axis_name: str = "data",
                   batch_axis_name: str | None = None):
     return _fft2_sharded(y, mesh, axis_name, True, check_norm(norm),
                          batch_axis_name)
+
+
+# ------------------------------------------------- split (re, im) API
+
+def _core_pair(br, bi, n0, n1, inverse, axis_name):
+    from ..ops import core
+
+    def a2a(a):
+        return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
+                                  concat_axis=a.ndim - 2, tiled=True)
+
+    def a2a_back(a):
+        return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
+                                  concat_axis=a.ndim - 1, tiled=True)
+
+    ar, ai = core.sfft(br, bi, n1, inverse)        # rows (local)
+    ar, ai = a2a(ar), a2a(ai)
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    ar, ai = core.sfft(ar, ai, n0, inverse)        # columns (local)
+    ar = jnp.swapaxes(ar, -1, -2)
+    ai = jnp.swapaxes(ai, -1, -2)
+    return a2a_back(ar), a2a_back(ai)
+
+
+def _fft2_sharded_pair(xr, xi, mesh, axis_name, inverse, norm,
+                       batch_axis_name=None):
+    xr = jnp.asarray(xr)
+    xi = jnp.asarray(xi)
+    n0, n1 = xr.shape[-2], xr.shape[-1]
+    d = mesh.shape[axis_name]
+    if n0 % d or n1 % d:
+        raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
+    lead = xr.ndim - 2
+    ls = [None] * lead
+    if batch_axis_name is not None and lead:
+        ls[0] = batch_axis_name
+    fs = shard_map(
+        partial(_core_pair, n0=n0, n1=n1, inverse=inverse,
+                axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(*ls, axis_name, None), P(*ls, axis_name, None)),
+        out_specs=(P(*ls, axis_name, None), P(*ls, axis_name, None)),
+    )
+    yr, yi = fs(xr, xi)
+    s = (inv_scale(norm, n0) * inv_scale(norm, n1) if inverse
+         else fwd_scale(norm, n0) * fwd_scale(norm, n1))
+    if s != 1.0:
+        yr = yr * s
+        yi = yi * s
+    return yr, yi
+
+
+def fft2_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "data",
+                       norm: str = DEFAULT_NORM,
+                       batch_axis_name: str | None = None):
+    """Sharded 2-D FFT on an (re, im) pair — the on-TPU-pod path."""
+    return _fft2_sharded_pair(xr, xi, mesh, axis_name, False,
+                              check_norm(norm), batch_axis_name)
+
+
+def ifft2_sharded_split(yr, yi, mesh: Mesh, axis_name: str = "data",
+                        norm: str = DEFAULT_NORM,
+                        batch_axis_name: str | None = None):
+    return _fft2_sharded_pair(yr, yi, mesh, axis_name, True,
+                              check_norm(norm), batch_axis_name)

@@ -170,3 +170,53 @@ def test_rowcol2d_sharded_batched_with_2d_mesh():
                                    batch_axis_name="data"))
     np.testing.assert_allclose(got, np.asarray(ct.dctn(x, 3, axes=(1, 2))),
                                atol=TOL * 8)
+
+
+def test_fourstep_split_matches_complex_path():
+    from cfftpack_tpu.parallel import fft_fourstep_split, ifft_fourstep_split
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = rng_complex((960,), seed=41)
+    yr, yi = fft_fourstep_split(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                mesh)
+    want = np.asarray(ct.fft(x))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), want,
+                               atol=TOL * 64)
+    br, bi = ifft_fourstep_split(yr, yi, mesh)
+    np.testing.assert_allclose(np.asarray(br) + 1j * np.asarray(bi), x,
+                               atol=TOL * 960)
+    # no-reorder pipeline mode
+    yr2, yi2 = fft_fourstep_split(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                  mesh, reorder=False)
+    br2, bi2 = ifft_fourstep_split(yr2, yi2, mesh, reordered=False)
+    np.testing.assert_allclose(np.asarray(br2) + 1j * np.asarray(bi2), x,
+                               atol=TOL * 960)
+
+
+def test_fft2_sharded_split_matches_complex_path():
+    from cfftpack_tpu.parallel import fft2_sharded_split, ifft2_sharded_split
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = rng_complex((32, 32), seed=43)
+    yr, yi = fft2_sharded_split(jnp.asarray(x.real), jnp.asarray(x.imag),
+                                mesh)
+    want = np.asarray(ct.fft2(x))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), want,
+                               atol=TOL * 32)
+    br, bi = ifft2_sharded_split(yr, yi, mesh)
+    np.testing.assert_allclose(np.asarray(br) + 1j * np.asarray(bi), x,
+                               atol=TOL * 1024)
+
+
+def test_sharded_strike_ladder_pricer():
+    """configs[4]: the conv pricer end-to-end over a device mesh."""
+    from cfftpack_tpu.models import conv_option_price, bs_cf
+    from cfftpack_tpu.utils import black_scholes_option
+    mesh = local_mesh()
+    strikes = np.arange(85.0, 115.0, 1.0)   # 30 strikes (pads to 32)
+    got = conv_option_price(100.0, strikes, 1 / 12, 0.03,
+                            lambda u: bs_cf(u, 1 / 12, 0.15, 0.03),
+                            n=4096, grid_sigma=0.15, mesh=mesh)
+    want = np.asarray(black_scholes_option(100.0, strikes, 0.15, 1 / 12,
+                                           0.03, True))
+    np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
