@@ -6,3 +6,4 @@ from .dct import (dct, idct, dst, idst,  # noqa: F401
                   dctn, idctn, dstn, idstn)
 from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401
 from .shift import fftshift, ifftshift  # noqa: F401
+from .freq import fftfreq, rfftfreq, circular_convolve  # noqa: F401

@@ -127,3 +127,35 @@ def test_grad_through_split_api():
 
     g = jax.grad(loss)(jnp.asarray(v))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+def test_fftfreq_helpers():
+    for n in (8, 9, 60):
+        np.testing.assert_allclose(np.asarray(ct.fftfreq(n, 0.5)),
+                                   np.fft.fftfreq(n, 0.5))
+        np.testing.assert_allclose(np.asarray(ct.rfftfreq(n, 2.0)),
+                                   np.fft.rfftfreq(n, 2.0))
+
+
+def test_circular_convolve():
+    r = np.random.default_rng(17)
+    n = 30
+    a, b = r.standard_normal(n), r.standard_normal(n)
+    direct = np.array([sum(a[j] * b[(k - j) % n] for j in range(n))
+                       for k in range(n)])
+    np.testing.assert_allclose(np.asarray(ct.circular_convolve(a, b)),
+                               direct, atol=1e-12)
+    ac = a + 1j * r.standard_normal(n)
+    directc = np.array([sum(ac[j] * b[(k - j) % n] for j in range(n))
+                        for k in range(n)])
+    np.testing.assert_allclose(np.asarray(ct.circular_convolve(ac, b)),
+                               directc, atol=1e-12)
+    with pytest.raises(ValueError):
+        ct.circular_convolve(np.ones(4), np.ones(5))
+
+
+def test_edge_probes():
+    with pytest.raises(ValueError):
+        ct.fft(np.empty(0, dtype=np.complex128))
+    with pytest.raises(ValueError):
+        ct.fft(np.ones(8), axis=3)
