@@ -8,3 +8,4 @@ from .roots import brent  # noqa: F401
 from .cache import enable_compilation_cache, warm_plans  # noqa: F401
 from .debug import enable_nan_checks, check_finite  # noqa: F401
 from .profiling import trace, Timer  # noqa: F401
+from .aot import precompile  # noqa: F401

@@ -159,3 +159,13 @@ def test_edge_probes():
         ct.fft(np.empty(0, dtype=np.complex128))
     with pytest.raises(ValueError):
         ct.fft(np.ones(8), axis=3)
+
+
+def test_aot_precompile():
+    from cfftpack_tpu.utils.aot import precompile
+    step = precompile(lambda v: ct.dct(v, 2, norm="ortho"),
+                      jnp.zeros((4, 32), jnp.float32))
+    x = np.random.default_rng(3).standard_normal((4, 32)).astype(np.float32)
+    got = np.asarray(step(jnp.asarray(x)))
+    want = np.asarray(ct.dct(x, 2, norm="ortho"))
+    np.testing.assert_allclose(got, want, atol=1e-5)
