@@ -85,7 +85,7 @@ def main():
             "fft": (lambda s: ct.ifft_split(*ct.fft_split(s[0], s[1])),
                     (xr, xi), 2, 2 * (2 * b * n * 8)),
             "rfft": (lambda s: ct.irfft_split(*ct.rfft_split(s), n),
-                     v, 2, 2 * (b * n * 4 + b * (n + 2) * 8)),
+                     v, 2, 2 * (b * n * 4 + b * (n + 2) * 4)),
             "dct2": (lambda s: ct.idct(ct.dct(s, 2), 2), v, 2,
                      4 * b * n * 4),
             "dct4": (lambda s: ct.idct(ct.dct(s, 4), 4), v, 2,

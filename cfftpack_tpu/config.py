@@ -39,7 +39,7 @@ def fwd_scale(norm: str, n: int) -> float:
     if norm in ("fftpack", "forward"):
         return 1.0 / n
     if norm == "ortho":
-        return 1.0 / np.sqrt(n)
+        return float(1.0 / np.sqrt(n))  # Python float: no f64 promotion
     return 1.0  # backward
 
 
@@ -49,7 +49,7 @@ def inv_scale(norm: str, n: int) -> float:
     if norm in ("fftpack", "forward"):
         return 1.0
     if norm == "ortho":
-        return 1.0 / np.sqrt(n)
+        return float(1.0 / np.sqrt(n))  # Python float: no f64 promotion
     return 1.0 / n  # backward
 
 

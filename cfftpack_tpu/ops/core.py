@@ -30,16 +30,28 @@ _C5_1, _S5_1 = float(np.cos(2 * np.pi / 5)), float(np.sin(2 * np.pi / 5))
 _C5_2, _S5_2 = float(np.cos(4 * np.pi / 5)), float(np.sin(4 * np.pi / 5))
 
 
-def _butterfly(Tr, Ti, p: int, inverse: bool):
-    """Length-p DFT over axis -2 of (..., p, m) pairs."""
+def _slice_axis(T, j: int, ax: int):
+    idx = [slice(None)] * T.ndim
+    idx[ax] = j
+    return T[tuple(idx)]
+
+
+def _butterfly(Tr, Ti, p: int, inverse: bool, axis: int = -2):
+    """Length-p DFT over ``axis`` of an (re, im) pair.
+
+    Shared by the XLA engine (axis -2 of (..., p, m)) and the Pallas
+    kernel (axis 1 of (L, p, mn, TB)) so the butterfly math exists
+    exactly once.
+    """
     sgn = 1.0 if inverse else -1.0
-    R = [Tr[..., j, :] for j in range(p)]
-    I = [Ti[..., j, :] for j in range(p)]
+    ax = axis % Tr.ndim
+    R = [_slice_axis(Tr, j, ax) for j in range(p)]
+    I = [_slice_axis(Ti, j, ax) for j in range(p)]
     if p == 1:
         return Tr, Ti
     if p == 2:
-        return (jnp.stack([R[0] + R[1], R[0] - R[1]], axis=-2),
-                jnp.stack([I[0] + I[1], I[0] - I[1]], axis=-2))
+        return (jnp.stack([R[0] + R[1], R[0] - R[1]], axis=ax),
+                jnp.stack([I[0] + I[1], I[0] - I[1]], axis=ax))
     if p == 3:
         tr, ti = R[1] + R[2], I[1] + I[2]
         dr, di = R[1] - R[2], I[1] - I[2]
@@ -48,8 +60,8 @@ def _butterfly(Tr, Ti, p: int, inverse: bool):
         # m2 = sgn*1j*sq32*d  ->  re: -sgn*sq32*di, im: sgn*sq32*dr
         m2r = -(sgn * _SQ3_2) * di
         m2i = (sgn * _SQ3_2) * dr
-        return (jnp.stack([R[0] + tr, m1r + m2r, m1r - m2r], axis=-2),
-                jnp.stack([I[0] + ti, m1i + m2i, m1i - m2i], axis=-2))
+        return (jnp.stack([R[0] + tr, m1r + m2r, m1r - m2r], axis=ax),
+                jnp.stack([I[0] + ti, m1i + m2i, m1i - m2i], axis=ax))
     if p == 4:
         ar, ai = R[0] + R[2], I[0] + I[2]
         br, bi = R[0] - R[2], I[0] - I[2]
@@ -57,8 +69,8 @@ def _butterfly(Tr, Ti, p: int, inverse: bool):
         # d = sgn*1j*(T1-T3)
         dr = -sgn * (I[1] - I[3])
         di = sgn * (R[1] - R[3])
-        return (jnp.stack([ar + cr, br + dr, ar - cr, br - dr], axis=-2),
-                jnp.stack([ai + ci, bi + di, ai - ci, bi - di], axis=-2))
+        return (jnp.stack([ar + cr, br + dr, ar - cr, br - dr], axis=ax),
+                jnp.stack([ai + ci, bi + di, ai - ci, bi - di], axis=ax))
     if p == 5:
         t1r, t1i = R[1] + R[4], I[1] + I[4]
         t2r, t2i = R[2] + R[3], I[2] + I[3]
@@ -75,23 +87,29 @@ def _butterfly(Tr, Ti, p: int, inverse: bool):
         b2r = -sgn * (_S5_2 * t3i - _S5_1 * t4i)
         b2i = sgn * (_S5_2 * t3r - _S5_1 * t4r)
         return (jnp.stack([u0r, a1r + b1r, a2r + b2r, a2r - b2r,
-                           a1r - b1r], axis=-2),
+                           a1r - b1r], axis=ax),
                 jnp.stack([u0i, a1i + b1i, a2i + b2i, a2i - b2i,
-                           a1i - b1i], axis=-2))
-    # generic small prime: dense p x p DFT matrix (MXU contraction)
+                           a1i - b1i], axis=ax))
+    # generic small prime: dense p x p DFT matrix.  precision=HIGHEST is
+    # required on TPU: the MXU otherwise multiplies f32 as bf16 (2e-3
+    # error observed at p=17).
     D = plan.dft_matrix(p)
     if inverse:
         D = np.conj(D)
     Dr = jnp.asarray(D.real, dtype=Tr.dtype)
     Di = jnp.asarray(D.imag, dtype=Tr.dtype)
-    Yr = (jnp.einsum("kp,...pj->...kj", Dr, Tr, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Tr.dtype)
-          - jnp.einsum("kp,...pj->...kj", Di, Ti, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Ti.dtype))
-    Yi = (jnp.einsum("kp,...pj->...kj", Dr, Ti, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Ti.dtype)
-          + jnp.einsum("kp,...pj->...kj", Di, Tr, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Tr.dtype))
+    if ax != Tr.ndim - 2:
+        Tr = jnp.moveaxis(Tr, ax, -2)
+        Ti = jnp.moveaxis(Ti, ax, -2)
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=Tr.dtype)
+    Yr = (jnp.einsum("kp,...pj->...kj", Dr, Tr, **kw)
+          - jnp.einsum("kp,...pj->...kj", Di, Ti, **kw))
+    Yi = (jnp.einsum("kp,...pj->...kj", Dr, Ti, **kw)
+          + jnp.einsum("kp,...pj->...kj", Di, Tr, **kw))
+    if ax != Yr.ndim - 2:
+        Yr = jnp.moveaxis(Yr, -2, ax)
+        Yi = jnp.moveaxis(Yi, -2, ax)
     return Yr, Yi
 
 

@@ -69,10 +69,10 @@ def _dct2_core(x, n: int):
     phi = jnp.asarray(ph.imag, dtype=x.dtype)
     h = n // 2
     y_low = phr[: h + 1] * Vr - phi[: h + 1] * Vi
-    lo = 1 if n % 2 == 0 else 1  # n-k for k=h+1..n-1 runs h-? .. 1
+    # upper bins k=h+1..n-1 mirror n-k = (h-1..1 even n | h..1 odd n)
     hi = h if n % 2 == 0 else h + 1
-    Vr_u = Vr[..., lo:hi][..., ::-1]
-    Vi_u = Vi[..., lo:hi][..., ::-1]
+    Vr_u = Vr[..., 1:hi][..., ::-1]
+    Vi_u = Vi[..., 1:hi][..., ::-1]
     y_high = phr[h + 1:] * Vr_u + phi[h + 1:] * Vi_u
     return jnp.concatenate([y_low, y_high], axis=-1)
 

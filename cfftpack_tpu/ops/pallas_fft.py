@@ -36,6 +36,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import plan
+from .core import _butterfly
 
 __all__ = ["pallas_eligible", "sfft_pallas"]
 
@@ -86,64 +87,6 @@ def _flat_twiddles(n: int):
     return tuple(offs), flat.real.copy(), flat.imag.copy()
 
 
-def _butterfly_ax1(Tr, Ti, p: int, inverse: bool):
-    """Length-p DFT over axis 1 of (L, p, mn, TB)."""
-    sgn = 1.0 if inverse else -1.0
-    R = [Tr[:, j] for j in range(p)]
-    I = [Ti[:, j] for j in range(p)]
-    st = lambda xs: jnp.stack(xs, axis=1)                 # noqa: E731
-    if p == 2:
-        return st([R[0] + R[1], R[0] - R[1]]), st([I[0] + I[1],
-                                                   I[0] - I[1]])
-    if p == 3:
-        s32 = float(np.sqrt(3.0) / 2.0)
-        tr, ti = R[1] + R[2], I[1] + I[2]
-        dr, di = R[1] - R[2], I[1] - I[2]
-        m1r, m1i = R[0] - 0.5 * tr, I[0] - 0.5 * ti
-        m2r, m2i = -(sgn * s32) * di, (sgn * s32) * dr
-        return (st([R[0] + tr, m1r + m2r, m1r - m2r]),
-                st([I[0] + ti, m1i + m2i, m1i - m2i]))
-    if p == 4:
-        ar, ai = R[0] + R[2], I[0] + I[2]
-        br, bi = R[0] - R[2], I[0] - I[2]
-        cr, ci = R[1] + R[3], I[1] + I[3]
-        dr, di = -sgn * (I[1] - I[3]), sgn * (R[1] - R[3])
-        return (st([ar + cr, br + dr, ar - cr, br - dr]),
-                st([ai + ci, bi + di, ai - ci, bi - di]))
-    if p == 5:
-        # Python floats (weak types): np scalars would promote f32 -> f64
-        c1, s1 = float(np.cos(2 * np.pi / 5)), float(np.sin(2 * np.pi / 5))
-        c2, s2 = float(np.cos(4 * np.pi / 5)), float(np.sin(4 * np.pi / 5))
-        t1r, t1i = R[1] + R[4], I[1] + I[4]
-        t2r, t2i = R[2] + R[3], I[2] + I[3]
-        t3r, t3i = R[1] - R[4], I[1] - I[4]
-        t4r, t4i = R[2] - R[3], I[2] - I[3]
-        u0r, u0i = R[0] + t1r + t2r, I[0] + t1i + t2i
-        a1r, a1i = R[0] + c1 * t1r + c2 * t2r, I[0] + c1 * t1i + c2 * t2i
-        a2r, a2i = R[0] + c2 * t1r + c1 * t2r, I[0] + c2 * t1i + c1 * t2i
-        b1r = -sgn * (s1 * t3i + s2 * t4i)
-        b1i = sgn * (s1 * t3r + s2 * t4r)
-        b2r = -sgn * (s2 * t3i - s1 * t4i)
-        b2i = sgn * (s2 * t3r - s1 * t4r)
-        return (st([u0r, a1r + b1r, a2r + b2r, a2r - b2r, a1r - b1r]),
-                st([u0i, a1i + b1i, a2i + b2i, a2i - b2i, a1i - b1i]))
-    # generic small prime via dense DFT matrix (einsum over axis 1)
-    D = plan.dft_matrix(p)
-    if inverse:
-        D = np.conj(D)
-    Dr = jnp.asarray(D.real, dtype=Tr.dtype)
-    Di = jnp.asarray(D.imag, dtype=Tr.dtype)
-    Yr = (jnp.einsum("kp,lpmt->lkmt", Dr, Tr, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Tr.dtype)
-          - jnp.einsum("kp,lpmt->lkmt", Di, Ti, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Ti.dtype))
-    Yi = (jnp.einsum("kp,lpmt->lkmt", Dr, Ti, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Ti.dtype)
-          + jnp.einsum("kp,lpmt->lkmt", Di, Tr, precision=jax.lax.Precision.HIGHEST,
-                      preferred_element_type=Tr.dtype))
-    return Yr, Yi
-
-
 def _make_kernel(n: int, tb: int, inverse: bool):
     facs = plan.factor(n)
     offs, _, _ = _flat_twiddles(n)
@@ -157,7 +100,7 @@ def _make_kernel(n: int, tb: int, inverse: bool):
             mn = m // p
             Tr = sr.reshape(L, p, mn, tb)
             Ti = si.reshape(L, p, mn, tb)
-            Ur, Ui = _butterfly_ax1(Tr, Ti, p, inverse)
+            Ur, Ui = _butterfly(Tr, Ti, p, inverse, axis=1)
             if mn > 1:
                 # tables are pre-broadcast across lanes on the host so
                 # the reshape only splits sublane dims (Mosaic rejects

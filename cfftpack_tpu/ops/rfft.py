@@ -127,6 +127,9 @@ def _irfft2_impl(y, n0_n1, axes, norm: str):
     from .cfft import _fft_impl
     a0, a1 = axes
     n0, n1 = n0_n1
+    if y.shape[a0] != n0:
+        raise ValueError(
+            f"irfft2: axis {a0} has {y.shape[a0]} bins, expected n0={n0}")
     z = _fft_impl(y, a0, norm, inverse=True)
     return _irfft_impl(z, n1, a1, norm)
 

@@ -53,5 +53,5 @@ def pirfft(x, n: int, mesh: Mesh, axis: str = "data", **kw):
     return _batched(partial(ops.irfft, n=n), x, mesh, axis, **kw)
 
 
-def pdct(x, type: int = 2, mesh: Mesh = None, axis: str = "data", **kw):
+def pdct(x, type: int, mesh: Mesh, axis: str = "data", **kw):
     return _batched(partial(ops.dct, type=type), x, mesh, axis, **kw)

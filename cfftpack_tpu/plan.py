@@ -204,7 +204,6 @@ def bluestein_tables(n: int) -> tuple[int, np.ndarray, np.ndarray]:
     kernel b[j] = exp(+1j*pi*((j mod m mapped) ^2)/n).
     """
     m = fft_next_fast_size(2 * n - 1)
-    j = np.arange(n, dtype=np.float64)
     # exponent j^2 mod 2n keeps the angle exact for large n
     jsq = (np.arange(n, dtype=np.int64) ** 2) % (2 * n)
     chirp = np.exp((-1j * np.pi / n) * jsq)

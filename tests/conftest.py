@@ -21,3 +21,8 @@ import jax  # noqa: E402
 # jax_platforms="axon,cpu", which would shadow the env var.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: the suite is compile-bound, and xdist
+# workers + repeat runs re-compile identical programs otherwise.
+jax.config.update("jax_compilation_cache_dir", "/tmp/cfftpack_tpu_test_xla_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
