@@ -1,0 +1,93 @@
+"""On-chip validation: every transform family vs the reference-C golden
+vectors, executed on the REAL TPU in float32.
+
+Run with the ambient axon environment: python scripts/tpu_validate.py
+Prints a per-family max relative error table (f32 target: <= ~1e-5).
+DCT/DST run through the public real API; complex transforms through the
+split API (the TPU backend rejects complex dtypes).
+"""
+from __future__ import annotations
+
+import os
+import sys
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(
+    os.path.abspath(__file__))))
+
+
+def relerr(got, want):
+    scale = max(1e-30, np.abs(want).max())
+    return np.abs(got - want).max() / scale
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    import cfftpack_tpu as ct
+
+    print(f"backend: {jax.devices()[0].device_kind} "
+          f"({jax.default_backend()})")
+    g = np.load(os.path.join(os.path.dirname(__file__), "..", "tests",
+                             "golden", "golden.npz"))
+    rows = []
+
+    def check(name, err, tol=5e-5):
+        rows.append((name, err, "OK" if err < tol else "FAIL"))
+
+    # complex fft via split API
+    for n in (60, 101, 960, 1024, 1250):
+        x = g[f"fft_in_{n}"]
+        yr, yi = ct.fft_split(jnp.asarray(x.real.astype(np.float32)),
+                              jnp.asarray(x.imag.astype(np.float32)))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        check(f"fft n={n}", relerr(got, g[f"fft_fwd_{n}"]))
+
+    # rfft via split API (reference packing relation)
+    for n in (60, 960, 1024):
+        x = g[f"rfft_in_{n}"].astype(np.float32)
+        yr, yi = ct.rfft_split(jnp.asarray(x))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        ref = g[f"rfft_fwd_{n}"]
+        hi = n // 2
+        err = max(relerr(got[0], ref[0]),
+                  relerr(2 * np.conj(got[1:hi]), ref[1:hi]))
+        check(f"rfft n={n}", err)
+
+    # real families through the public API
+    fams = [("dct", 3, ct.dct), ("dct1", 1, ct.dct), ("dct4", 4, ct.dct),
+            ("dst", 3, ct.dst), ("dst1", 1, ct.dst), ("dst4", 4, ct.dst),
+            ("dct5", 5, ct.dct), ("dct8", 8, ct.dct),
+            ("dst5", 5, ct.dst), ("dst8", 8, ct.dst)]
+    for fam, t, fn in fams:
+        n = 60 if f"{fam}_in_60" in g else 13
+        x = g[f"{fam}_in_{n}"].astype(np.float32)
+        got = np.asarray(fn(jnp.asarray(x), t))
+        check(f"{fam} n={n}", relerr(got, g[f"{fam}_fwd_{n}"]))
+
+    # gdft via split API
+    x = g["gdft_in_60_0.5_0.0"]
+    zr, zi = ct.gdft_split(jnp.asarray(x.real.astype(np.float32)),
+                           jnp.asarray(x.imag.astype(np.float32)),
+                           a=0.0, b=0.5)
+    got = np.asarray(zr) + 1j * np.asarray(zi)
+    check("gdft a_ref=.5", relerr(got, g["gdft_fwd_60_0.5_0.0"]))
+
+    # 2-D DCT
+    x = g["dct2d_in_8x6"].astype(np.float32)
+    got = np.asarray(ct.dctn(jnp.asarray(x), 3))
+    check("dct_2d 8x6", relerr(got, g["dct2d_fwd_8x6"]))
+
+    width = max(len(r[0]) for r in rows) + 2
+    bad = 0
+    for name, err, status in rows:
+        print(f"  {name:<{width}} rel err {err:.2e}  {status}")
+        bad += status != "OK"
+    print(f"{len(rows) - bad}/{len(rows)} families within f32 tolerance"
+          + ("" if not bad else f"  ({bad} FAILED)"))
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
