@@ -96,8 +96,13 @@ def _dct3_core(x, n: int):
     Vi = (phi * x - phr * xnk)[..., : h + 1]
     wr = core.sirfft(Vr, Vi, n)                 # unscaled c2r inverse
     v = 0.5 * wr
-    # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j]
+    # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j].  Even n: interleave
+    # via stack+reshape (TPU lane scatters are slow); odd n: scatter.
     half = (n + 1) // 2
+    if n % 2 == 0:
+        a = v[..., :half]
+        b = v[..., half:][..., ::-1]
+        return jnp.stack([a, b], axis=-1).reshape(*v.shape[:-1], n)
     out = jnp.zeros_like(v)
     out = out.at[..., 0::2].set(v[..., :half])
     out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
@@ -167,10 +172,10 @@ def _dct4_core(x, n: int):
         posti = jnp.asarray(post.imag, dtype=x.dtype)
         zr = Wr * postr - Wi * posti
         zi = Wr * posti + Wi * postr
-        y = jnp.zeros_like(x)
-        y = y.at[..., 0::2].set(zr)
-        y = y.at[..., 1::2].set(-zi[..., ::-1])  # y[n-1-2p] = -Im z
-        return y
+        # interleave via stack+reshape (avoids TPU lane scatters):
+        # y[2t] = Re z[t], y[2t+1] = -Im z[h-1-t]
+        return jnp.stack([zr, -zi[..., ::-1]],
+                         axis=-1).reshape(*x.shape[:-1], n)
     m = 2 * n
     # U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)}
     ur, _ = core.s_shifted_dft_real(x, n, m, 0.5, 0.5, n)
