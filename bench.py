@@ -83,6 +83,13 @@ def main():
     bytes_per_transform = 2 * n * 8              # rw of both f32 planes
     roofline_tps = bw_hbm / bytes_per_transform
 
+    # secondary kernels (recorded in detail; value stays the FFT metric)
+    v = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
+    t_rfft = _per_iter(lambda s: ct.irfft_split(*ct.rfft_split(s), n),
+                       v, lo=4, hi=204) / 2.0
+    t_dct2 = _per_iter(lambda s: ct.idct(ct.dct(s, 2), 2), v,
+                       lo=4, hi=204) / 2.0
+
     result = {
         "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
         "value": round(transforms_per_s, 1),
@@ -96,6 +103,8 @@ def main():
             "t_fft_us": round(t_fft * 1e6, 2),
             "hbm_GBps": round(bw_hbm / 1e9, 1),
             "roofline_transforms_per_s": round(roofline_tps, 1),
+            "t_rfft_us": round(t_rfft * 1e6, 2),
+            "t_dct2_us": round(t_dct2 * 1e6, 2),
         },
     }
     print(json.dumps(result))

@@ -7,7 +7,7 @@ constants, keeping every device program real-valued (the XLA TPU
 backend has no complex support).
 """
 from .chfun import (bs_cf, vg_cf, normal_cf, nig_cf,  # noqa: F401
-                    alpha_stable_cf, cf_moment_sigma)
+                    alpha_stable_cf, heston_cf, cf_moment_sigma)
 from .pricing import conv_option_price, conv_bsvg_option  # noqa: F401
 from .montecarlo import (vg_mc_price, asian_option_qmc,  # noqa: F401
                          brownian_paths_qmc)

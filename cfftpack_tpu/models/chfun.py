@@ -12,7 +12,7 @@ from __future__ import annotations
 import numpy as np
 
 __all__ = ["bs_cf", "vg_cf", "normal_cf", "nig_cf", "alpha_stable_cf",
-           "cf_moment_sigma"]
+           "heston_cf", "cf_moment_sigma"]
 
 
 def bs_cf(u, t, sigma, r):
@@ -80,3 +80,22 @@ def cf_moment_sigma(phi, t, h: float = 0.1) -> float:
     d2phi = (fu + fd - 2.0) / (h * h)
     var = (-d2phi + dphi * dphi).real
     return float(np.sqrt(var))
+
+
+def heston_cf(u, t, v0, kappa, theta, sigma, rho, r):
+    """Heston stochastic-volatility characteristic function of log S_t
+    (the "little Heston trap" formulation, Albrecher et al 2007 — the
+    numerically stable branch).  Not in the reference, but the standard
+    companion model for the Carr-Madan conv pricer family."""
+    u = np.asarray(u, dtype=np.float64)
+    iu = 1j * u
+    d = np.sqrt((rho * sigma * iu - kappa) ** 2 + sigma ** 2 * (iu + u * u))
+    g = (kappa - rho * sigma * iu - d) / (kappa - rho * sigma * iu + d)
+    ee = np.exp(-d * t)
+    C = (r * iu * t
+         + kappa * theta / sigma ** 2
+         * ((kappa - rho * sigma * iu - d) * t
+            - 2.0 * np.log((1.0 - g * ee) / (1.0 - g))))
+    D = (kappa - rho * sigma * iu - d) / sigma ** 2 \
+        * (1.0 - ee) / (1.0 - g * ee)
+    return np.exp(C + D * v0)

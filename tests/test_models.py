@@ -165,3 +165,29 @@ def test_chfun_sanity():
         np.testing.assert_allclose(phi(0.0, 0.5), 1.0, atol=1e-12)
     np.testing.assert_allclose(vg_cf(0.0, T, SIGMA, THETA, KAPPA, R), 1.0,
                                atol=1e-12)
+
+
+def test_heston_pricer_reduces_to_bs_at_zero_volvol():
+    """With vanishing vol-of-vol and v0 == theta == sigma_bs^2, Heston
+    degenerates to Black-Scholes — the conv pricer must agree."""
+    from cfftpack_tpu.models import heston_cf
+    sig, t, r = 0.2, 0.5, 0.02
+    phi = lambda u: heston_cf(u, t, v0=sig ** 2, kappa=5.0,     # noqa: E731
+                              theta=sig ** 2, sigma=1e-4, rho=0.0, r=r)
+    np.testing.assert_allclose(phi(0.0), 1.0, atol=1e-12)
+    got = conv_option_price(100.0, 100.0, t, r, phi, n=1 << 14,
+                            grid_sigma=sig)
+    want = float(black_scholes_option(100.0, 100.0, sig, t, r, True))
+    np.testing.assert_allclose(got, want, rtol=2e-4)
+
+
+def test_heston_pricer_smile():
+    """Nonzero correlation produces a monotone skewed call ladder."""
+    from cfftpack_tpu.models import heston_cf
+    t, r = 0.5, 0.02
+    phi = lambda u: heston_cf(u, t, v0=0.04, kappa=2.0,         # noqa: E731
+                              theta=0.04, sigma=0.6, rho=-0.7, r=r)
+    strikes = np.array([80.0, 100.0, 120.0])
+    got = conv_option_price(100.0, strikes, t, r, phi, n=1 << 14,
+                            grid_sigma=0.25)
+    assert np.all(got > 0) and got[0] > got[1] > got[2]

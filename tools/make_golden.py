@@ -126,12 +126,12 @@ def main():
     fams = [
         ("dct", "dct_forward", "dct_inverse",
          (2, 3, 4, 5, 8, 16, 32, 60, 960, 1000, 1250), True),
-        ("dct1", "dct1_forward", "dct1_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
-         True),
+        ("dct1", "dct1_forward", "dct1_inverse",
+         (2, 3, 4, 5, 8, 16, 32, 60, 961, 1000), True),
         ("dst", "dst_forward", "dst_inverse",
          (2, 3, 4, 5, 8, 16, 32, 60, 960, 1000, 1250), True),
-        ("dst1", "dst1_forward", "dst1_inverse", (2, 3, 4, 5, 8, 16, 32, 60),
-         True),
+        ("dst1", "dst1_forward", "dst1_inverse",
+         (2, 3, 4, 5, 8, 16, 32, 60, 959, 999), True),
         ("dct4", "dct4_forward", "dct4_inverse",
          (2, 4, 8, 16, 32, 60, 960, 1000, 1250), True),
         ("dst4", "dst4_forward", "dst4_inverse", (2, 4, 8, 16, 32, 60), True),
