@@ -127,6 +127,10 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool):
     xi = jnp.asarray(xi)
     if xr.shape != xi.shape:
         raise ValueError("re/im shapes differ")
+    if not jnp.issubdtype(xr.dtype, jnp.floating):
+        xr = xr.astype(jnp.promote_types(xr.dtype, jnp.float32))
+    if xi.dtype != xr.dtype:
+        xi = xi.astype(xr.dtype)
     n = xr.shape[axis]
     axis = axis % xr.ndim
     move = axis != xr.ndim - 1

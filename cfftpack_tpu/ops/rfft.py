@@ -154,6 +154,8 @@ def irfft2(y, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
 def _rfft_split_impl(x, axis: int, norm: str):
     from . import core
     x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
     n = x.shape[axis]
     axis = axis % x.ndim
     move = axis != x.ndim - 1

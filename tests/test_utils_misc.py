@@ -169,3 +169,27 @@ def test_aot_precompile():
     got = np.asarray(step(jnp.asarray(x)))
     want = np.asarray(ct.dct(x, 2, norm="ortho"))
     np.testing.assert_allclose(got, want, atol=1e-5)
+
+
+def test_split_api_integer_input_coerced():
+    yr, yi = ct.fft_split(np.arange(8), np.zeros(8, dtype=np.int64))
+    assert jnp.issubdtype(yr.dtype, jnp.floating)
+    want = np.fft.fft(np.arange(8.0)) / 8
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi), want,
+                               atol=1e-6)
+    zr, _ = ct.rfft_split(np.arange(8))
+    assert jnp.issubdtype(zr.dtype, jnp.floating)
+
+
+def test_compat_batched_arrays():
+    import cfftpack_tpu.compat as cc
+    f = cc.dct_create(16)
+    x = np.random.default_rng(0).standard_normal((3, 16))
+    got = np.asarray(f.forward(x))
+    want = np.asarray(ct.dct(x, 3))
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    rf = cc.rfft_create(12)
+    xb = np.random.default_rng(1).standard_normal((2, 12))
+    spec = rf.forward(xb)
+    back = np.asarray(rf.inverse(spec))
+    np.testing.assert_allclose(back, xb, atol=1e-12)
