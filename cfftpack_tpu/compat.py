@@ -102,14 +102,14 @@ class FFTPlan(_Plan):
         data = self._check(data)
         y = ops.fft(data)
         if self.ortho:  # reference quirk: extra 1/sqrt(n) on top of 1/n
-            y = y * (1.0 / np.sqrt(self.n))
+            y = y * float(1.0 / np.sqrt(self.n))
         return y
 
     def inverse(self, data):
         data = self._check(data)
         y = ops.ifft(data)
         if self.ortho:  # reference quirk: extra sqrt(n)
-            y = y * np.sqrt(self.n)
+            y = y * float(np.sqrt(self.n))
         return y
 
 

@@ -121,7 +121,8 @@ def ifftn(x, axes=None, norm: str = DEFAULT_NORM):
 # backend rejects complex-typed programs, and split planes are the
 # native layout for Pallas kernels anyway.
 
-def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool):
+def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool,
+                    impl: str = "xla"):
     from . import core
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
@@ -137,7 +138,17 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool):
     if move:
         xr = jnp.moveaxis(xr, axis, -1)
         xi = jnp.moveaxis(xi, axis, -1)
-    yr, yi = core.sfft(xr, xi, n, inverse)
+    if impl == "pallas":
+        from .pallas_fft import pallas_eligible, sfft_pallas
+        if not pallas_eligible(n, xr.dtype):
+            raise ValueError(
+                f"impl='pallas' unsupported for n={n}, dtype={xr.dtype} "
+                "(needs f32 and largest prime factor <= 32)")
+        yr, yi = sfft_pallas(xr, xi, n, inverse)
+    elif impl == "xla":
+        yr, yi = core.sfft(xr, xi, n, inverse)
+    else:
+        raise ValueError(f"impl must be 'xla' or 'pallas', got {impl!r}")
     s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
     if s != 1.0:
         yr = yr * s
@@ -148,13 +159,22 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool):
     return yr, yi
 
 
-_fft_split_jit = jax.jit(_fft_split_impl, static_argnums=(2, 3, 4))
+_fft_split_jit = jax.jit(_fft_split_impl, static_argnums=(2, 3, 4, 5))
 
 
-def fft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM):
-    """Forward FFT on an (re, im) pair of real arrays — the TPU path."""
-    return _fft_split_jit(xr, xi, axis, check_norm(norm), False)
+def fft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM,
+              impl: str = "xla"):
+    """Forward FFT on an (re, im) pair of real arrays — the TPU path.
+
+    ``impl="pallas"`` opts into the fused all-stages-in-VMEM Pallas
+    kernel (ops/pallas_fft.py).  Measured on v5e the default XLA path
+    is faster (it already sits at the VPU-FMA/HBM roofline, see
+    BASELINE.md), so pallas is explicit opt-in, kept compiled-path
+    tested by scripts/tpu_validate.py.
+    """
+    return _fft_split_jit(xr, xi, axis, check_norm(norm), False, impl)
 
 
-def ifft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM):
-    return _fft_split_jit(xr, xi, axis, check_norm(norm), True)
+def ifft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM,
+               impl: str = "xla"):
+    return _fft_split_jit(xr, xi, axis, check_norm(norm), True, impl)

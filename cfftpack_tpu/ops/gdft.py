@@ -108,6 +108,12 @@ def _gdft_split_impl(xr, xi, a: float, b: float, axis: int, norm: str,
     from . import core
     xr = jnp.asarray(xr)
     xi = jnp.asarray(xi)
+    if xr.shape != xi.shape:
+        raise ValueError("re/im shapes differ")
+    if not jnp.issubdtype(xr.dtype, jnp.floating):
+        xr = xr.astype(jnp.promote_types(xr.dtype, jnp.float32))
+    if xi.dtype != xr.dtype:
+        xi = xi.astype(xr.dtype)
     n = xr.shape[axis]
     axis = axis % xr.ndim
     move = axis != xr.ndim - 1

@@ -35,12 +35,6 @@ from .cfft import _apply_axis
 __all__ = ["rfft", "irfft", "rfft2", "irfft2"]
 
 
-def _half_twiddle(n: int) -> np.ndarray:
-    """exp(-2j*pi*k/n) for k = 0..n//2 (float64 host table)."""
-    k = np.arange(n // 2 + 1)
-    return np.exp((-2j * np.pi / n) * k)
-
-
 def _rfft_core(x, n: int):
     """Unscaled forward DFT of real x over the last axis -> n//2+1 bins.
 
@@ -176,6 +170,16 @@ def _irfft_split_impl(yr, yi, n: int, axis: int, norm: str):
     from . import core
     yr = jnp.asarray(yr)
     yi = jnp.asarray(yi)
+    if yr.shape != yi.shape:
+        raise ValueError("re/im shapes differ")
+    if not jnp.issubdtype(yr.dtype, jnp.floating):
+        yr = yr.astype(jnp.promote_types(yr.dtype, jnp.float32))
+    if yi.dtype != yr.dtype:
+        yi = yi.astype(yr.dtype)
+    if yr.shape[axis] != n // 2 + 1:
+        raise ValueError(
+            f"irfft_split: spectrum axis has {yr.shape[axis]} bins, "
+            f"expected n//2+1 = {n // 2 + 1} for n={n}")
     axis = axis % yr.ndim
     move = axis != yr.ndim - 1
     if move:

@@ -19,4 +19,4 @@ from .fourstep_split import (fft_fourstep_split,  # noqa: F401
 from .fft2d import (fft2_sharded, ifft2_sharded,  # noqa: F401
                     fft2_sharded_split, ifft2_sharded_split)
 from .rowcol import (rowcol2d_sharded, dctn2_sharded,  # noqa: F401
-                     idctn2_sharded, dstn2_sharded)
+                     idctn2_sharded, dstn2_sharded, idstn2_sharded)

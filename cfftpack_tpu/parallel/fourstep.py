@@ -20,6 +20,7 @@ matching how the reference apps use fft+ifft back-to-back.
 """
 from __future__ import annotations
 
+import functools
 from functools import partial
 
 import jax
@@ -35,19 +36,23 @@ from ..ops.cfft import _dft_last_axis
 __all__ = ["fft_fourstep", "ifft_fourstep"]
 
 
+@functools.lru_cache(maxsize=4096)
 def _split(n: int, n_shards: int) -> tuple[int, int]:
-    """Pick N1*N2 == n with N2 divisible by shard count and both factors
-    as square as possible (transpose volume is minimized at sqrt(N))."""
+    """Pick N1*N2 == n with both factors divisible by the shard count
+    and as square as possible (transpose volume is minimized at
+    sqrt(N)).  Divisors enumerated to sqrt(n) only and cached (the
+    2^20 flagship length would otherwise scan 1M candidates per call)."""
     best = None
-    for n1 in range(1, n + 1):
-        if n % n1:
-            continue
-        n2 = n // n1
-        if n2 % n_shards or n1 % n_shards:
-            continue
-        score = abs(n1 - n2)
-        if best is None or score < best[0]:
-            best = (score, n1, n2)
+    d = 1
+    while d * d <= n:
+        if n % d == 0:
+            for n1 in (d, n // d):
+                n2 = n // n1
+                if n1 % n_shards == 0 and n2 % n_shards == 0:
+                    score = abs(n1 - n2)
+                    if best is None or score < best[0]:
+                        best = (score, n1, n2)
+        d += 1
     if best is None:
         raise ValueError(
             f"length {n} not splittable as N1*N2 with both divisible by "

@@ -20,7 +20,8 @@ from jax import shard_map
 from ..ops.dct import _dct_impl, _dst_impl
 from ..config import check_norm, DEFAULT_NORM
 
-__all__ = ["rowcol2d_sharded", "dctn2_sharded", "idctn2_sharded"]
+__all__ = ["rowcol2d_sharded", "dctn2_sharded", "idctn2_sharded",
+           "dstn2_sharded", "idstn2_sharded"]
 
 
 def _core(blk, row_fn, col_fn, axis_name):
@@ -89,5 +90,14 @@ def dstn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
                   batch_axis_name: str | None = None):
     t, nm = int(type), check_norm(norm)
     fn = lambda a: _dst_impl(a, t, -1, nm, False)     # noqa: E731
+    return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
+                            batch_axis_name=batch_axis_name)
+
+
+def idstn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
+                   axis_name: str = "data",
+                   batch_axis_name: str | None = None):
+    t, nm = int(type), check_norm(norm)
+    fn = lambda a: _dst_impl(a, t, -1, nm, True)      # noqa: E731
     return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
                             batch_axis_name=batch_axis_name)

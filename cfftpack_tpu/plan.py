@@ -116,6 +116,9 @@ def fft_next_fast_size(n: int) -> int:
 
 def fft_next_fast_even_size(n: int) -> int:
     """Next even 5-smooth size >= n (for DCT-IV/DST-IV; cfftextra.c:40-46)."""
+    nat = _native()
+    if nat is not None:
+        return nat.next_fast_even_size(max(n, 2))
     n = max(n, 2)
     if n % 2:
         n += 1
@@ -126,6 +129,9 @@ def fft_next_fast_even_size(n: int) -> int:
 
 def fft_next_fast_size_2nm1(n: int) -> int:
     """Next n >= given such that 2n-1 is 5-smooth (cfftextra.c:48-62)."""
+    nat = _native()
+    if nat is not None:
+        return nat.next_fast_size_2nm1(max(n, 2))
     n = max(n, 2)  # reference clamps to >= 2
     while not is_smooth(2 * n - 1):
         n += 1
@@ -134,6 +140,9 @@ def fft_next_fast_size_2nm1(n: int) -> int:
 
 def fft_next_fast_size_2np1(n: int) -> int:
     """Next n >= given such that 2n+1 is 5-smooth (cfftextra.c:64-82)."""
+    nat = _native()
+    if nat is not None:
+        return nat.next_fast_size_2np1(max(n, 1))
     n = max(n, 1)
     while not is_smooth(2 * n + 1):
         n += 1

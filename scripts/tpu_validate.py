@@ -66,6 +66,15 @@ def main():
         got = np.asarray(fn(jnp.asarray(x), t))
         check(f"{fam} n={n}", relerr(got, g[f"{fam}_fwd_{n}"]))
 
+    # compiled Pallas kernel (opt-in impl) on eligible lengths
+    for n in (960, 1024):
+        x = g[f"fft_in_{n}"]
+        yr, yi = ct.fft_split(jnp.asarray(x.real.astype(np.float32)),
+                              jnp.asarray(x.imag.astype(np.float32)),
+                              impl="pallas")
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        check(f"fft[pallas] n={n}", relerr(got, g[f"fft_fwd_{n}"]))
+
     # gdft via split API
     x = g["gdft_in_60_0.5_0.0"]
     zr, zi = ct.gdft_split(jnp.asarray(x.real.astype(np.float32)),
