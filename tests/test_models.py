@@ -205,3 +205,17 @@ def test_asian_qmc_matches_reference_binary_digit_for_digit():
                             qmc=True, run_index=run)
            for run in range(3)]
     np.testing.assert_allclose(got, want, atol=5e-14)
+
+
+def test_bs_conv_matches_reference_binary():
+    """Strike ladder parity vs the compiled reference conv_option
+    (blackscholes.cpp semantics, complex-FFT + fftshift variant) at
+    N=8192 — our rfft-based pricer agrees to ~1e-14 despite the
+    different transform path."""
+    want = [15.212299372488037, 5.453853872366270, 0.323130053038668,
+            0.000959919044600]
+    ks = np.array([85.0, 95.0, 105.0, 115.0])
+    got = conv_option_price(100.0, ks, 1 / 12, 0.03,
+                            lambda u: bs_cf(u, 1 / 12, 0.15, 0.03),
+                            n=8192, grid_sigma=0.15)
+    np.testing.assert_allclose(got, want, atol=2e-13)
