@@ -219,3 +219,16 @@ def test_bs_conv_matches_reference_binary():
                             lambda u: bs_cf(u, 1 / 12, 0.15, 0.03),
                             n=8192, grid_sigma=0.15)
     np.testing.assert_allclose(got, want, atol=2e-13)
+
+
+def test_vg_distribution_matches_reference_binary():
+    """The deterministic FFT part of vg_mc.cpp (delta -> fft ->
+    conj(phi) -> ifft -> CDF) vs the compiled reference binary at
+    N=2048: CDF agrees to ~1e-14 at spot-checked quantiles."""
+    from cfftpack_tpu.models.montecarlo import vg_distribution_grid
+    _, pdf = vg_distribution_grid(SIGMA, THETA, KAPPA, R, T, 2048)
+    cum = np.cumsum(pdf)
+    want = {512: 0.000098313654346, 1024: 0.344910732462461,
+            1536: 0.999999669680804, 2047: 1.000000000000000}
+    for i, v in want.items():
+        np.testing.assert_allclose(cum[i], v, atol=2e-13)
