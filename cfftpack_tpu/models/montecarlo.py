@@ -96,8 +96,8 @@ def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
     if steps % 2:
         raise ValueError("steps must be even (DCT-IV path construction)")
     dt = t / steps
-    var = sigma * np.sqrt(dt)
-    drift = (r - 0.5 * sigma * sigma) * dt
+    var = float(sigma * np.sqrt(dt))
+    drift = float((r - 0.5 * sigma * sigma) * dt)
     if qmc:
         index = samples * run_index
         z = brownian_paths_qmc(samples, steps, start_index=index + 1)
@@ -112,6 +112,6 @@ def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
         pay = (jnp.maximum(s_path - K, 0.0) if is_call
                else jnp.maximum(K - s_path, 0.0))
         avg = jnp.mean(pay, axis=-1)          # average over path steps
-        return jnp.mean(avg) * np.exp(-r * t)
+        return jnp.mean(avg) * float(np.exp(-r * t))
 
     return float(value(z))

@@ -67,7 +67,7 @@ def normal_icdf(p):
     u = jnp.where(qc > 0.02425, central, tail)
     # one Halley refinement to machine precision
     err = normal_cdf(u) - qc
-    f_over_df = err * np.sqrt(2.0 * np.pi) * jnp.exp(u * u / 2.0)
+    f_over_df = err * float(np.sqrt(2.0 * np.pi)) * jnp.exp(u * u / 2.0)
     u = u - f_over_df / (1.0 + u * f_over_df / 2.0)
     u = jnp.where(p > 0.5, -u, u)
     u = jnp.where(p <= 0.0, -jnp.inf, u)
@@ -118,10 +118,10 @@ def black_scholes_option(S, K, sigma, t, r, is_call=True):
     """Black-Scholes closed form (util.c:171-180), vectorized."""
     S = jnp.asarray(S, dtype=jnp.float64)
     K = jnp.asarray(K, dtype=jnp.float64)
-    d1 = (jnp.log(S / K) + t * (r + sigma * sigma * 0.5)) \
-        / (sigma * np.sqrt(t))
-    d2 = d1 - sigma * np.sqrt(t)
-    C = S * normal_cdf(d1) - K * normal_cdf(d2) * np.exp(-r * t)
+    sqt = float(np.sqrt(t))
+    d1 = (jnp.log(S / K) + t * (r + sigma * sigma * 0.5)) / (sigma * sqt)
+    d2 = d1 - sigma * sqt
+    C = S * normal_cdf(d1) - K * normal_cdf(d2) * float(np.exp(-r * t))
     if is_call:
         return C
-    return C - S + K * np.exp(-r * t)
+    return C - S + K * float(np.exp(-r * t))
