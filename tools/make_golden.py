@@ -134,7 +134,8 @@ def main():
          (2, 3, 4, 5, 8, 16, 32, 60, 959, 999), True),
         ("dct4", "dct4_forward", "dct4_inverse",
          (2, 4, 8, 16, 32, 60, 960, 1000, 1250), True),
-        ("dst4", "dst4_forward", "dst4_inverse", (2, 4, 8, 16, 32, 60), True),
+        ("dst4", "dst4_forward", "dst4_inverse",
+         (2, 4, 8, 16, 32, 60, 960, 1000, 1250), True),
         ("dct5", "dct5_forward", "dct5_inverse", (2, 3, 4, 5, 8, 13), True),
         ("dct6", "dct6_transform", None, (2, 3, 4, 5, 8, 13), True),
         ("dct7", "dct7_transform", None, (2, 3, 4, 5, 8, 13), True),
