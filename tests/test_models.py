@@ -232,3 +232,16 @@ def test_vg_distribution_matches_reference_binary():
             1536: 0.999999669680804, 2047: 1.000000000000000}
     for i, v in want.items():
         np.testing.assert_allclose(cum[i], v, atol=2e-13)
+
+
+def test_shortrate_alpha_stable_fit():
+    """Model 5 (alpha-stable + shifted exponential): the mesh must still
+    reprice the curve after calibration."""
+    from cfftpack_tpu.models.chfun import alpha_stable_cf
+    times = np.linspace(0.0, 3.0, 25)
+    mesh = ShortRateMesh(256, times, alpha_stable_cf(1.8, 0.0, 0.08),
+                         mean_reversion=0.01, conv="shifted_exponential",
+                         shift=0.02)
+    disc = np.exp(-0.02 * times)
+    mesh.fit(disc)
+    np.testing.assert_allclose(mesh.ad[-1].sum(), disc[-1], rtol=1e-7)

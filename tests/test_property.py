@@ -80,3 +80,39 @@ def test_impulse_and_constant_signals():
     spec = np.asarray(ct.fft(c))
     np.testing.assert_allclose(spec[0], 1.0, atol=1e-14)
     np.testing.assert_allclose(spec[1:], 0.0, atol=1e-13)
+
+
+def test_fuzz_fft_random_shapes_axes():
+    """Randomized (seeded) shape/axis/dtype fuzz vs numpy."""
+    r = np.random.default_rng(1234)
+    for _ in range(25):
+        rank = int(r.integers(1, 4))
+        shape = tuple(int(r.integers(1, 13)) for _ in range(rank))
+        axis = int(r.integers(-rank, rank))
+        x = r.standard_normal(shape) + 1j * r.standard_normal(shape)
+        got = np.asarray(ct.fft(x, axis=axis))
+        want = np.fft.fft(x, axis=axis) / x.shape[axis]
+        np.testing.assert_allclose(got, want, atol=1e-12,
+                                   err_msg=f"{shape} axis={axis}")
+
+
+def test_fuzz_rfft_random_shapes():
+    r = np.random.default_rng(4321)
+    for _ in range(15):
+        rank = int(r.integers(1, 3))
+        shape = tuple(int(r.integers(1, 40)) for _ in range(rank))
+        x = r.standard_normal(shape)
+        got = np.asarray(ct.rfft(x))
+        want = np.fft.rfft(x) / shape[-1]
+        np.testing.assert_allclose(got, want, atol=1e-12, err_msg=str(shape))
+
+
+def test_huge_prime_bluestein():
+    """A large prime length routes through Bluestein with a ~2^18-smooth
+    convolution; parity vs numpy at full length."""
+    n = 104729  # the 10000th prime
+    r = np.random.default_rng(0)
+    x = r.standard_normal(n) + 1j * r.standard_normal(n)
+    got = np.asarray(ct.fft(x))
+    want = np.fft.fft(x) / n
+    assert np.abs(got - want).max() < 1e-10
