@@ -220,3 +220,35 @@ def test_sharded_strike_ladder_pricer():
     want = np.asarray(black_scholes_option(100.0, strikes, 0.15, 1 / 12,
                                            0.03, True))
     np.testing.assert_allclose(got, want, rtol=5e-4, atol=5e-4)
+
+
+def test_fourstep_compiles_to_single_all_to_all():
+    """Communication minimality: the distributed four-step FFT must
+    lower to exactly ONE all-to-all (the transpose) and no other
+    collectives (SURVEY.md §2.8: collectives only at the transpose)."""
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = jnp.zeros(512, jnp.complex64)
+    f = jax.jit(lambda a: fft_fourstep(a, mesh, reorder=False))
+    txt = f.lower(x).compile().as_text()
+    assert txt.count("all-to-all") >= 1
+    # count distinct all-to-all ops (each appears as "%all-to-all" defs)
+    n_a2a = txt.count("= c64[") and sum(
+        1 for line in txt.splitlines() if "all-to-all(" in line)
+    assert n_a2a == 1, f"expected exactly 1 all-to-all, got {n_a2a}"
+    for coll in ("all-reduce(", "all-gather(", "reduce-scatter("):
+        assert coll not in txt, f"unexpected {coll} in four-step HLO"
+
+
+def test_fft2_sharded_collective_budget():
+    """Sharded 2-D FFT: two all-to-alls (transpose there and back),
+    nothing else."""
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = jnp.zeros((64, 64), jnp.complex64)
+    f = jax.jit(lambda a: fft2_sharded(a, mesh))
+    txt = f.lower(x).compile().as_text()
+    n_a2a = sum(1 for line in txt.splitlines() if "all-to-all(" in line)
+    assert n_a2a == 2, f"expected exactly 2 all-to-alls, got {n_a2a}"
+    for coll in ("all-reduce(", "all-gather(", "reduce-scatter("):
+        assert coll not in txt, f"unexpected {coll} in 2-D FFT HLO"
