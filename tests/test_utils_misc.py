@@ -193,3 +193,10 @@ def test_compat_batched_arrays():
     spec = rf.forward(xb)
     back = np.asarray(rf.inverse(spec))
     np.testing.assert_allclose(back, xb, atol=1e-12)
+
+
+def test_profiler_trace_smoke(tmp_path):
+    from cfftpack_tpu.utils.profiling import trace
+    with trace(str(tmp_path / "tr")) as logdir:
+        jax.block_until_ready(ct.fft(jnp.ones(64, jnp.complex128)))
+    assert os.path.isdir(logdir)
