@@ -112,6 +112,8 @@ def _gdft_split_impl(xr, xi, a: float, b: float, axis: int, norm: str,
         raise ValueError("re/im shapes differ")
     if not jnp.issubdtype(xr.dtype, jnp.floating):
         xr = xr.astype(jnp.promote_types(xr.dtype, jnp.float32))
+    elif jnp.finfo(xr.dtype).bits < 32:   # bf16/f16 twiddles lose ~1e-2
+        xr = xr.astype(jnp.float32)
     if xi.dtype != xr.dtype:
         xi = xi.astype(xr.dtype)
     n = xr.shape[axis]

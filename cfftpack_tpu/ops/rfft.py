@@ -150,6 +150,8 @@ def _rfft_split_impl(x, axis: int, norm: str):
     x = jnp.asarray(x)
     if not jnp.issubdtype(x.dtype, jnp.floating):
         x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    elif jnp.finfo(x.dtype).bits < 32:    # bf16/f16 twiddles lose ~1e-2
+        x = x.astype(jnp.float32)
     n = x.shape[axis]
     axis = axis % x.ndim
     move = axis != x.ndim - 1
@@ -174,6 +176,8 @@ def _irfft_split_impl(yr, yi, n: int, axis: int, norm: str):
         raise ValueError("re/im shapes differ")
     if not jnp.issubdtype(yr.dtype, jnp.floating):
         yr = yr.astype(jnp.promote_types(yr.dtype, jnp.float32))
+    elif jnp.finfo(yr.dtype).bits < 32:   # bf16/f16 twiddles lose ~1e-2
+        yr = yr.astype(jnp.float32)
     if yi.dtype != yr.dtype:
         yi = yi.astype(yr.dtype)
     if yr.shape[axis] != n // 2 + 1:

@@ -200,3 +200,11 @@ def test_profiler_trace_smoke(tmp_path):
     with trace(str(tmp_path / "tr")) as logdir:
         jax.block_until_ready(ct.fft(jnp.ones(64, jnp.complex128)))
     assert os.path.isdir(logdir)
+
+
+def test_split_api_bf16_promoted_to_f32():
+    x = jnp.ones(16, jnp.bfloat16)
+    yr, yi = ct.fft_split(x, jnp.zeros(16, jnp.bfloat16))
+    assert yr.dtype == jnp.float32
+    zr, _ = ct.rfft_split(x)
+    assert zr.dtype == jnp.float32
