@@ -140,12 +140,6 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool,
     if move:
         xr = jnp.moveaxis(xr, axis, -1)
         xi = jnp.moveaxis(xi, axis, -1)
-    if xr.dtype == jnp.float64 and jax.default_backend() == "tpu":
-        import warnings
-        warnings.warn(
-            "float64 on TPU: most TPU generations emulate f64 slowly and "
-            "some backends hang outright; prefer float32 on-chip "
-            "(f64 parity is CPU-validated)", stacklevel=3)
     if impl == "pallas":
         from .pallas_fft import pallas_eligible, sfft_pallas
         if not pallas_eligible(n, xr.dtype):

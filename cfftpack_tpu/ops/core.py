@@ -166,8 +166,21 @@ def _bluestein(xr, xi, n: int, inverse: bool):
     return _cmul_tab(Er, Ei, cr, ci)
 
 
+def _warn_f64_tpu(dtype):
+    """Every split entry point funnels here: f64 execution hangs on some
+    TPU backends (axon v5e) and is slow emulation elsewhere."""
+    import jax
+    if dtype == jnp.float64 and jax.default_backend() == "tpu":
+        import warnings
+        warnings.warn(
+            "float64 on TPU: most TPU generations emulate f64 slowly and "
+            "some backends hang outright; prefer float32 on-chip "
+            "(f64 parity is CPU-validated)", stacklevel=4)
+
+
 def sfft(xr, xi, n: int, inverse: bool):
     """Unscaled mixed-radix DFT over the last axis of an (re, im) pair."""
+    _warn_f64_tpu(xr.dtype)
     if plan.needs_bluestein(n):
         return _bluestein(xr, xi, n, inverse)
     return _stockham(xr, xi, n, inverse)
@@ -188,6 +201,7 @@ def srfft(x, n: int):
     odd n: full pair FFT of (x, 0), truncated.  Matches rfft.py's
     complex-path semantics bit-for-bit (imag DC == 0 etc.).
     """
+    _warn_f64_tpu(x.dtype)
     if n == 1:
         return x, jnp.zeros_like(x)
     if n % 2 == 0:

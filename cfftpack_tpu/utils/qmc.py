@@ -118,10 +118,13 @@ def black_scholes_option(S, K, sigma, t, r, is_call=True):
     """Black-Scholes closed form (util.c:171-180), vectorized."""
     S = jnp.asarray(S, dtype=jnp.float64)
     K = jnp.asarray(K, dtype=jnp.float64)
-    sqt = float(np.sqrt(t))
+    t = jnp.asarray(t, dtype=jnp.float64)   # vectorized over t and r too
+    r = jnp.asarray(r, dtype=jnp.float64)
+    sqt = jnp.sqrt(t)
+    df = jnp.exp(-r * t)
     d1 = (jnp.log(S / K) + t * (r + sigma * sigma * 0.5)) / (sigma * sqt)
     d2 = d1 - sigma * sqt
-    C = S * normal_cdf(d1) - K * normal_cdf(d2) * float(np.exp(-r * t))
+    C = S * normal_cdf(d1) - K * normal_cdf(d2) * df
     if is_call:
         return C
-    return C - S + K * float(np.exp(-r * t))
+    return C - S + K * df

@@ -231,10 +231,7 @@ def test_fourstep_compiles_to_single_all_to_all():
     x = jnp.zeros(512, jnp.complex64)
     f = jax.jit(lambda a: fft_fourstep(a, mesh, reorder=False))
     txt = f.lower(x).compile().as_text()
-    assert txt.count("all-to-all") >= 1
-    # count distinct all-to-all ops (each appears as "%all-to-all" defs)
-    n_a2a = txt.count("= c64[") and sum(
-        1 for line in txt.splitlines() if "all-to-all(" in line)
+    n_a2a = sum(1 for line in txt.splitlines() if "all-to-all(" in line)
     assert n_a2a == 1, f"expected exactly 1 all-to-all, got {n_a2a}"
     for coll in ("all-reduce(", "all-gather(", "reduce-scatter("):
         assert coll not in txt, f"unexpected {coll} in four-step HLO"
