@@ -21,6 +21,11 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
 
+# honor JAX_PLATFORMS even under site configs that pre-pin a backend
+if os.environ.get("JAX_PLATFORMS"):
+    import jax
+    jax.config.update("jax_platforms", os.environ["JAX_PLATFORMS"])
+
 
 def loop_time(body, state, reps: int) -> float:
     import jax
@@ -62,7 +67,12 @@ def main():
     ap.add_argument("--sizes", default="256,1024,4096")
     ap.add_argument("--batch", type=int, default=4096)
     ap.add_argument("--families", default="fft,rfft,dct2,dct4")
+    ap.add_argument("--scaling", action="store_true",
+                    help="run the batch-sharded weak-scaling sweep instead")
     args = ap.parse_args()
+    if args.scaling:
+        weak_scaling()
+        return
     sizes = [int(s) for s in args.sizes.split(",")]
     fams = args.families.split(",")
 
@@ -106,6 +116,50 @@ def main():
                     (ideal_bytes / ntrans / tper) / bw, 4),
             }))
 
+
+
+
+def weak_scaling(batch_per_device: int = 512, n: int = 1024):
+    """Batch-sharded weak scaling over 1..D local devices.
+
+    On real multi-chip hardware this measures the BASELINE >=85%
+    weak-scaling target; on a virtual CPU mesh the devices share host
+    cores, so treat the numbers as a mechanism check only (flagged in
+    the output).
+    """
+    import jax
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    import cfftpack_tpu as ct
+    from cfftpack_tpu.parallel import make_mesh
+
+    devs = jax.devices()
+    virtual = devs[0].platform == "cpu" and len(devs) > 1
+    base_tput = None
+    d = 1
+    while d <= len(devs):
+        mesh = make_mesh((d,), ("data",), devices=devs[:d])
+        spec = NamedSharding(mesh, P("data", None))
+        b = batch_per_device * d
+        r = np.random.default_rng(0)
+        xr = jax.device_put(
+            jnp.asarray(r.standard_normal((b, n)).astype(np.float32)), spec)
+        xi = jax.device_put(
+            jnp.asarray(r.standard_normal((b, n)).astype(np.float32)), spec)
+        f = jax.jit(lambda a, b: ct.ifft_split(*ct.fft_split(a, b)),
+                    in_shardings=(spec, spec), out_shardings=(spec, spec))
+        t = per_iter(lambda s: f(s[0], s[1]), (xr, xi), lo=4, hi=104) / 2.0
+        tput = b / t
+        if base_tput is None:
+            base_tput = tput
+        print(json.dumps({
+            "metric": "weak_scaling_transforms_per_s",
+            "devices": d, "batch": b, "n": n,
+            "value": round(tput, 1),
+            "efficiency": round(tput / (base_tput * d), 4),
+            "virtual_devices": virtual,
+        }))
+        d *= 2
 
 if __name__ == "__main__":
     main()
