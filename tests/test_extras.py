@@ -21,7 +21,7 @@ def rng_complex(shape, seed=0):
     return r.standard_normal(shape) + 1j * r.standard_normal(shape)
 
 
-@pytest.mark.parametrize("n", [4, 8, 16, 60])
+@pytest.mark.parametrize("n", [4, 8, 16, 60, 960])
 @pytest.mark.parametrize("ab", [(0.0, 0.0), (0.5, 0.0), (0.0, 0.5),
                                 (0.5, 0.5), (0.25, 0.1)])
 def test_gdft_golden_forward(n, ab):
@@ -113,7 +113,7 @@ def test_odd_types_roundtrip(t, n, norm):
         atol=TOL * n * 10)
 
 
-@pytest.mark.parametrize("mn", [(4, 4), (8, 6), (6, 10)])
+@pytest.mark.parametrize("mn", [(4, 4), (8, 6), (6, 10), (64, 48)])
 def test_dct2d_golden(mn):
     """reference dct_2d == dctn(type=3) forward / idctn(type=3) inverse."""
     M, N = mn

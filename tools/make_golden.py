@@ -158,7 +158,7 @@ def main():
                     save(f"{fam}_inv_{n}{sfx}", o["inv"])
 
     # ---- gdft ----
-    for n in (4, 8, 16, 60):
+    for n in (4, 8, 16, 60, 960):
         for (a, b) in ((0.0, 0.0), (0.5, 0.0), (0.0, 0.5), (0.5, 0.5),
                        (0.25, 0.1)):
             x = rng.standard_normal(n) + 1j * rng.standard_normal(n)
@@ -177,7 +177,7 @@ def main():
     # ---- dct_2d: despite the header comment (cfftextra.h:138-139), the
     # implementation treats the buffer as N rows x M cols row-major
     # (verified empirically against per-axis 1-D transforms) ----
-    for (M, N) in ((4, 4), (8, 6), (6, 10)):
+    for (M, N) in ((4, 4), (8, 6), (6, 10), (64, 48)):
         x = rng.standard_normal((N, M))
         save(f"dct2d_in_{M}x{N}", x)
         o = run_inplace((M, N), "dct_2d_forward", "dct_2d_inverse",
