@@ -93,10 +93,16 @@ def main():
     bw_hbm = _try(_hbm)
     hbm_fallback = bw_hbm is None
     if hbm_fallback:
-        bw_hbm = 694e9                           # measured v5e figure
+        # per-chip HBM bandwidth by device kind (public spec sheets);
+        # unknown kinds get no roofline rather than a wrong one
+        _HBM_SPEC = {"TPU v5 lite": 819e9, "TPU v5e": 819e9,
+                     "TPU v5p": 2765e9, "TPU v4": 1228e9,
+                     "TPU v6 lite": 1640e9, "TPU v6e": 1640e9}
+        bw_hbm = _HBM_SPEC.get(jax.devices()[0].device_kind)
 
     bytes_per_transform = 2 * n * 8              # rw of both f32 planes
-    roofline_tps = bw_hbm / bytes_per_transform
+    roofline_tps = (None if bw_hbm is None
+                    else bw_hbm / bytes_per_transform)
 
     # secondary kernels (recorded in detail; value stays the FFT metric)
     v = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
@@ -111,16 +117,18 @@ def main():
         "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
         "value": round(transforms_per_s, 1),
         "unit": "transforms/s",
-        "vs_baseline": round(transforms_per_s / roofline_tps, 4),
+        "vs_baseline": (None if roofline_tps is None
+                        else round(transforms_per_s / roofline_tps, 4)),
         "detail": {
             "backend": jax.devices()[0].platform,
             "device": jax.devices()[0].device_kind,
             "batch": batch,
             "n": n,
             "t_fft_us": round(t_fft * 1e6, 2),
-            "hbm_GBps": round(bw_hbm / 1e9, 1),
+            "hbm_GBps": None if bw_hbm is None else round(bw_hbm / 1e9, 1),
             "hbm_fallback": hbm_fallback,
-            "roofline_transforms_per_s": round(roofline_tps, 1),
+            "roofline_transforms_per_s": (
+                None if roofline_tps is None else round(roofline_tps, 1)),
             "t_rfft_us": None if t_rfft is None else round(t_rfft * 1e6,
                                                             2),
             "t_dct2_us": None if t_dct2 is None else round(t_dct2 * 1e6,

@@ -143,8 +143,8 @@ def _sfft_pallas_2d(xr, xi, n: int, inverse: bool):
     out_shape = [jax.ShapeDtypeStruct((bp, n), xr.dtype)] * 2
     grid = (bp // tb,)
     blk = pl.BlockSpec((tb, n), lambda i: (i, 0),
-                       memory_space=pltpu.ANY if interp else pltpu.VMEM)
-    tw_spec = pl.BlockSpec(memory_space=pltpu.ANY if interp
+                       memory_space=pl.ANY if interp else pltpu.VMEM)
+    tw_spec = pl.BlockSpec(memory_space=pl.ANY if interp
                            else pltpu.VMEM)
     yr, yi = pl.pallas_call(
         kernel,

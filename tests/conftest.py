@@ -24,5 +24,11 @@ jax.config.update("jax_enable_x64", True)
 
 # Persistent compilation cache: the suite is compile-bound, and xdist
 # workers + repeat runs re-compile identical programs otherwise.
-jax.config.update("jax_compilation_cache_dir", "/tmp/cfftpack_tpu_test_xla_cache")
+# Namespaced by user + jax version so a shared /tmp can't serve stale
+# or unwritable entries across users/upgrades.
+import getpass  # noqa: E402
+
+jax.config.update(
+    "jax_compilation_cache_dir",
+    f"/tmp/cfftpack_tpu_test_xla_cache_{getpass.getuser()}_{jax.__version__}")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.3)
