@@ -65,7 +65,9 @@ def main():
 
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="256,1024,4096")
-    ap.add_argument("--batch", type=int, default=4096)
+    ap.add_argument("--batch", default="4096",
+                    help="fixed batch, or 'auto' = max(64, 2^22 // n) so "
+                    "the working set stays HBM-bound at every size")
     ap.add_argument("--families", default="fft,rfft,dct2,dct4")
     ap.add_argument("--scaling", action="store_true",
                     help="run the batch-sharded weak-scaling sweep instead")
@@ -84,7 +86,8 @@ def main():
 
     r = np.random.default_rng(0)
     for n in sizes:
-        b = args.batch
+        b = (max(64, (1 << 22) // n) if args.batch == "auto"
+             else int(args.batch))
         xr = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
         xi = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
         v = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))

@@ -144,6 +144,91 @@ def _cmul_tab(xr, xi, tr, ti):
     return xr * tr - xi * ti, xr * ti + xi * tr
 
 
+# --------------------------------------------- large-n four-step (local)
+#
+# The flat Stockham engine materializes every stage with the remaining
+# transform length in lanes; past VMEM-fusible sizes XLA streams each
+# stage to HBM and throughput collapses (measured v5e: 0.83 of HBM
+# roofline at n=1024 but 0.06 at n=65536).  Large n therefore runs the
+# four-step decomposition n = n1*n2 IN-CORE (the single-chip analog of
+# parallel/fourstep.py; ancestor cfft2f_'s row-column pass,
+# /root/reference/cfftpack/fftpack.c:2363-2434):
+#
+#   x[j1*n2 + j2] as (n1, n2):  FFT over j1 (axis -2, n2 in lanes — no
+#   transpose!), twiddle e^{sgn 2i pi k1 j2/n}, FFT over j2 (last axis),
+#   one final (k1, k2) -> k2-major transpose for natural order.
+
+_FOURSTEP_MIN = 8192          # measured crossover on v5e (see BASELINE.md)
+
+
+def _stockham_axis2(xr, xi, n1: int, inverse: bool):
+    """Stockham FFT over axis -2 of (..., n1, nl) — the trailing axis
+    stays in lanes; all stage data movement is over sublane rows."""
+    shape = xr.shape
+    nl = shape[-1]
+    Sr = xr.reshape(-1, 1, n1, nl)
+    Si = xi.reshape(-1, 1, n1, nl)
+    B = Sr.shape[0]
+    L, m = 1, n1
+    for p, tw in zip(plan.factor(n1), plan.stage_twiddles(n1)):
+        mn = m // p
+        Ur, Ui = _butterfly(Sr.reshape(B, L, p, mn, nl),
+                            Si.reshape(B, L, p, mn, nl), p, inverse, axis=2)
+        if mn > 1:
+            twr = jnp.asarray(tw.real, dtype=xr.dtype)[None, None, :, :,
+                                                       None]
+            twi_ = tw.imag if not inverse else -tw.imag
+            twi = jnp.asarray(twi_, dtype=xr.dtype)[None, None, :, :, None]
+            Vr = Ur * twr - Ui * twi
+            Vi = Ur * twi + Ui * twr
+            Ur, Ui = Vr, Vi
+        Sr = jnp.swapaxes(Ur, 1, 2).reshape(B, L * p, mn, nl)
+        Si = jnp.swapaxes(Ui, 1, 2).reshape(B, L * p, mn, nl)
+        L *= p
+        m = mn
+    return Sr.reshape(shape), Si.reshape(shape)
+
+
+def _fourstep_split_n(n: int) -> tuple[int, int] | None:
+    """n1*n2 == n with n2 in [128, 4096] (lane-friendly) and n1 >= 2,
+    n2 as large as possible; None if no such split exists."""
+    best = None
+    for n2 in range(min(n // 2, 4096), 127, -1):
+        if n % n2 == 0:
+            best = (n // n2, n2)
+            break
+    return best
+
+
+def _fourstep_local(xr, xi, n: int, inverse: bool):
+    n1, n2 = _fourstep_split_n(n)
+    lead = xr.shape[:-1]
+    x2r = xr.reshape(lead + (n1, n2))
+    x2i = xi.reshape(lead + (n1, n2))
+    # FFT over j1 (axis -2): no transpose, n2 stays in lanes
+    Ar, Ai = _stockham_axis2(x2r, x2i, n1, inverse)
+    # twiddle e^{sgn*2i pi k1 j2 / n}
+    k1 = np.arange(n1)[:, None]
+    j2 = np.arange(n2)[None, :]
+    sgn = 2j * np.pi / n if inverse else -2j * np.pi / n
+    tw = np.exp(sgn * (k1 * j2))
+    Tr, Ti = _cmul_tab(Ar, Ai, jnp.asarray(tw.real, dtype=xr.dtype),
+                       jnp.asarray(tw.imag, dtype=xr.dtype))
+    # FFT over j2 (last axis); n1 joins the batch
+    Yr, Yi = _stockham(Tr, Ti, n2, inverse)
+    # natural order: X[k1 + n1*k2] -> k2-major flatten
+    Yr = jnp.swapaxes(Yr, -1, -2).reshape(lead + (n,))
+    Yi = jnp.swapaxes(Yi, -1, -2).reshape(lead + (n,))
+    return Yr, Yi
+
+
+def _fft_any(xr, xi, n: int, inverse: bool):
+    """Dispatch: four-step for large lane-splittable n, else flat."""
+    if n >= _FOURSTEP_MIN and _fourstep_split_n(n) is not None:
+        return _fourstep_local(xr, xi, n, inverse)
+    return _stockham(xr, xi, n, inverse)
+
+
 def _bluestein(xr, xi, n: int, inverse: bool):
     m, chirp, bq = plan.bluestein_tables(n)
     if inverse:
@@ -155,11 +240,11 @@ def _bluestein(xr, xi, n: int, inverse: bool):
     pad = [(0, 0)] * (xr.ndim - 1) + [(0, m - n)]
     ar = jnp.pad(ar, pad)
     ai = jnp.pad(ai, pad)
-    Ar, Ai = _stockham(ar, ai, m, inverse=False)
+    Ar, Ai = _fft_any(ar, ai, m, inverse=False)
     br = jnp.asarray(bq.real, dtype=xr.dtype)
     bi = jnp.asarray(bq.imag, dtype=xr.dtype)
     Cr, Ci = _cmul_tab(Ar, Ai, br, bi)
-    Er, Ei = _stockham(Cr, Ci, m, inverse=True)
+    Er, Ei = _fft_any(Cr, Ci, m, inverse=True)
     s = 1.0 / m
     Er = Er[..., :n] * s
     Ei = Ei[..., :n] * s
@@ -179,57 +264,95 @@ def _warn_f64_tpu(dtype):
 
 
 def sfft(xr, xi, n: int, inverse: bool):
-    """Unscaled mixed-radix DFT over the last axis of an (re, im) pair."""
+    """Unscaled mixed-radix DFT over the last axis of an (re, im) pair.
+
+    Large n (>= _FOURSTEP_MIN) with a lane-friendly n1*n2 split run the
+    local four-step decomposition; see _fourstep_local above.
+    """
     _warn_f64_tpu(xr.dtype)
     if plan.needs_bluestein(n):
         return _bluestein(xr, xi, n, inverse)
-    return _stockham(xr, xi, n, inverse)
+    return _fft_any(xr, xi, n, inverse)
 
 
 # ------------------------------------------------------- real transforms
+#
+# Even-n r2c/c2r use the half-length complex trick with the split/merge
+# stage FUSED into a single 4-term table FMA over (Z, Z-mirror) — no
+# ragged (n/2+1)-wide intermediates, no scatter fix-ups.  Derivation:
+# Y_k = Ze_k + w_k Zo_k with Ze = (Z + conj(Zm))/2, Zo = -i(Z -
+# conj(Zm))/2, Zm_k = Z_{(h-k)%h}; expanding in (Zr, Zi, Zmr, Zmi)
+# gives per-bin linear combinations with host-precomputed f64 tables.
+# (TPU motivation: the former formulation materialized several (B,
+# n/2+1) arrays — 513 lanes is 4.008 vector registers — plus two
+# dynamic-update-slice passes; measured ~1.06x a FULL complex FFT on
+# v5e instead of the expected ~0.55x.)
 
-def _half_tables(n: int):
-    k = np.arange(n // 2 + 1)
-    w = np.exp((-2j * np.pi / n) * k)
-    return w.real, w.imag
+
+def _zmirror(Zr, Zi):
+    """Z_{(h-k) mod h}: bin 0 fixed, others lane-reversed."""
+    Zmr = jnp.concatenate([Zr[..., :1], Zr[..., 1:][..., ::-1]], axis=-1)
+    Zmi = jnp.concatenate([Zi[..., :1], Zi[..., 1:][..., ::-1]], axis=-1)
+    return Zmr, Zmi
+
+
+def _rfft_merge_tables(n: int):
+    """Coefficients of (Zr, Zi, Zmr, Zmi) for yr, yi at bins 0..h-1."""
+    h = n // 2
+    k = np.arange(h)
+    w = np.exp(-2j * np.pi * k / n)
+    wr, wi = w.real, w.imag
+    return ((1 + wi) / 2, wr / 2, (1 - wi) / 2, wr / 2,
+            -wr / 2, (1 + wi) / 2, wr / 2, (wi - 1) / 2)
+
+
+def _irfft_merge_tables(n: int):
+    """Coefficients of (ya, yb, ymr, ymi) for Zr, Zi at bins 0..h-1."""
+    h = n // 2
+    k = np.arange(h)
+    w = np.exp(-2j * np.pi * k / n)
+    wr, wi = w.real, w.imag
+    # Zr = (ya+ymr) - wr*(yb+ymi) + wi*(ya-ymr)
+    # Zi = (yb-ymi) + wr*(ya-ymr) + wi*(yb+ymi)
+    return (1 + wi, -wr, 1 - wi, -wr,
+            wr, 1 + wi, -wr, wi - 1)
+
+
+def _t(tab, dtype):
+    return jnp.asarray(tab, dtype=dtype)
 
 
 def srfft(x, n: int):
     """Unscaled r2c DFT of real x -> (re, im) pair of n//2+1 bins.
 
-    Even n: half-length complex trick (x packed into an n/2 pair);
-    odd n: full pair FFT of (x, 0), truncated.  Matches rfft.py's
-    complex-path semantics bit-for-bit (imag DC == 0 etc.).
+    Even n: half-length complex trick with the fused merge stage above;
+    odd n: full pair FFT of (x, 0), truncated.  imag(DC) and (even n)
+    imag(Nyquist) are exact zeros by construction.
     """
     _warn_f64_tpu(x.dtype)
     if n == 1:
         return x, jnp.zeros_like(x)
     if n % 2 == 0:
-        m2 = n // 2
         zr = x[..., 0::2]
         zi = x[..., 1::2]
-        Zr, Zi = sfft(zr, zi, m2, inverse=False)
-        Zfr = jnp.concatenate([Zr, Zr[..., :1]], axis=-1)
-        Zfi = jnp.concatenate([Zi, Zi[..., :1]], axis=-1)
-        Zcr = Zfr[..., ::-1]
-        Zci = -Zfi[..., ::-1]
-        Zer = 0.5 * (Zfr + Zcr)
-        Zei = 0.5 * (Zfi + Zci)
-        # Zo = -0.5j*(Zf - Zc)
-        Zor = 0.5 * (Zfi - Zci)
-        Zoi = -0.5 * (Zfr - Zcr)
-        wr, wi = _half_tables(n)
-        wr = jnp.asarray(wr, dtype=x.dtype)
-        wi = jnp.asarray(wi, dtype=x.dtype)
-        yr = Zer + Zor * wr - Zoi * wi
-        yi = Zei + Zor * wi + Zoi * wr
-    else:
-        Yr, Yi = sfft(x, jnp.zeros_like(x), n, inverse=False)
-        yr = Yr[..., : n // 2 + 1]
-        yi = Yi[..., : n // 2 + 1]
+        Zr, Zi = sfft(zr, zi, n // 2, inverse=False)
+        Zmr, Zmi = _zmirror(Zr, Zi)
+        a1, a2, a3, a4, b1, b2, b3, b4 = (
+            _t(t, x.dtype) for t in _rfft_merge_tables(n))
+        yr = Zr * a1 + Zi * a2 + Zmr * a3 + Zmi * a4
+        yi = Zr * b1 + Zi * b2 + Zmr * b3 + Zmi * b4
+        nyq = Zr[..., :1] - Zi[..., :1]
+        z1 = jnp.zeros_like(nyq)
+        yr = jnp.concatenate([yr, nyq], axis=-1)
+        # imag(DC) and imag(Nyquist) are EXACT zeros (reference contract,
+        # cfftpack.c:466-471): spliced in rather than relying on the
+        # table FMA cancelling (FP association leaves ~1 ulp there)
+        yi = jnp.concatenate([z1, yi[..., 1:], z1], axis=-1)
+        return yr, yi
+    Yr, Yi = sfft(x, jnp.zeros_like(x), n, inverse=False)
+    yr = Yr[..., : n // 2 + 1]
+    yi = Yi[..., : n // 2 + 1]
     yi = yi.at[..., 0].set(0.0)
-    if n % 2 == 0:
-        yi = yi.at[..., -1].set(0.0)
     return yr, yi
 
 
@@ -238,22 +361,16 @@ def sirfft(yr, yi, n: int):
     if n == 1:
         return yr[..., 0:1]
     if n % 2 == 0:
-        m2 = n // 2
-        Ycr = yr[..., ::-1]
-        Yci = -yi[..., ::-1]
-        Zer = yr + Ycr
-        Zei = yi + Yci
-        wr, wi = _half_tables(n)
-        wr = jnp.asarray(wr, dtype=yr.dtype)
-        wi = jnp.asarray(-wi, dtype=yr.dtype)  # conj table
-        dr = yr - Ycr
-        di = yi - Yci
-        Zor = dr * wr - di * wi
-        Zoi = dr * wi + di * wr
-        # Z = Ze + 1j*Zo  (truncated to m2)
-        Zr = (Zer - Zoi)[..., :m2]
-        Zi = (Zei + Zor)[..., :m2]
-        zr, zi = sfft(Zr, Zi, m2, inverse=True)
+        h = n // 2
+        ya = yr[..., :h]
+        yb = yi[..., :h]
+        ymr = yr[..., ::-1][..., :h]      # yr_{h-k}, k = 0..h-1
+        ymi = yi[..., ::-1][..., :h]
+        a1, a2, a3, a4, b1, b2, b3, b4 = (
+            _t(t, yr.dtype) for t in _irfft_merge_tables(n))
+        Zr = ya * a1 + yb * a2 + ymr * a3 + ymi * a4
+        Zi = ya * b1 + yb * b2 + ymr * b3 + ymi * b4
+        zr, zi = sfft(Zr, Zi, h, inverse=True)
         out = jnp.stack([zr, zi], axis=-1)
         return out.reshape(*zr.shape[:-1], n)
     tr = yr[..., 1:][..., ::-1]

@@ -51,37 +51,133 @@ def _cexp_half(n: int, sign: float) -> np.ndarray:
 # conventions (the mode<0 semantics of the reference's naive test
 # oracles, /root/reference/test/naivepack.c:12-228).
 
+def _dct2_tables(n: int):
+    """Even n.  Coefficients of (Zr, Zi, Zmr, Zmi) at output bin k,
+    shaped (2, n/2) so the (B, h) operands broadcast straight to the
+    (B, 2, h) output (k = c*h + j) with NO mirror/concat assembly.
+
+    Derivation: y_k = Re(ph_k V_k), V_k = Ze_{k%h} + w_k Zo_{k%h}
+    (valid for ALL k < n since Ze/Zo are h-periodic and w picks up the
+    half-period sign), ph = e^{-i pi k/(2n)}; substituting Ze/Zo in
+    (Z, conj(Zm)) and collecting terms gives, with q = ph*w =
+    e^{-5i pi k/(2n)}:  y = T1*Zr + T2*Zi + T3*Zmr + T4*Zmi.
+    """
+    h = n // 2
+    k = np.arange(n)
+    ph = np.exp(-1j * np.pi * k / (2 * n))
+    q = np.exp(-5j * np.pi * k / (2 * n))
+    T1 = (ph.real + q.imag) / 2
+    T2 = (q.real - ph.imag) / 2
+    T3 = (ph.real - q.imag) / 2
+    T4 = (ph.imag + q.real) / 2
+    return tuple(t.reshape(2, h) for t in (T1, T2, T3, T4))
+
+
 def _dct2_core(x, n: int):
     """y[k] = sum_j x[j] cos(pi*k*(2j+1)/(2n))  (Makhoul N-point).
 
-    Split-real internals (core.sfft): real in -> real out with no
-    complex dtype anywhere, so every DCT/DST runs on the TPU backend.
+    Even n runs the FUSED path: the Makhoul permutation is composed
+    with the half-length packing into direct stride-4 gathers of x, one
+    n/2-point complex FFT (core.sfft), and a single broadcast table-FMA
+    producing all n outputs — replacing the reference's sequential
+    cosqf1_ fold/rotate/rfft/unpack pipeline (fftpack.c:5665-5741) with
+    three lane-parallel passes.  Split-real throughout (TPU-safe).
     """
     from . import core
     if n == 1:
         return x
-    v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]], axis=-1)
-    # v is real: one r2c FFT (half-length trick inside) + conjugate
-    # symmetry V[n-k] = conj(V[k]) rebuilds the upper bins
-    Vr, Vi = core.srfft(v, n)                      # bins 0..n//2
-    ph = _cexp_half(n, -1.0)
-    phr = jnp.asarray(ph.real, dtype=x.dtype)
-    phi = jnp.asarray(ph.imag, dtype=x.dtype)
+    if n % 2:
+        # odd n: Makhoul permutation + full-length real DFT
+        v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]],
+                            axis=-1)
+        Vr, Vi = core.srfft(v, n)                  # bins 0..n//2
+        ph = _cexp_half(n, -1.0)
+        phr = jnp.asarray(ph.real, dtype=x.dtype)
+        phi = jnp.asarray(ph.imag, dtype=x.dtype)
+        h = n // 2
+        y_low = phr[: h + 1] * Vr - phi[: h + 1] * Vi
+        Vr_u = Vr[..., 1:][..., ::-1]
+        Vi_u = Vi[..., 1:][..., ::-1]
+        y_high = phr[h + 1:] * Vr_u + phi[h + 1:] * Vi_u
+        return jnp.concatenate([y_low, y_high], axis=-1)
     h = n // 2
-    y_low = phr[: h + 1] * Vr - phi[: h + 1] * Vi
-    # upper bins k=h+1..n-1 mirror n-k = (h-1..1 even n | h..1 odd n)
-    hi = h if n % 2 == 0 else h + 1
-    Vr_u = Vr[..., 1:hi][..., ::-1]
-    Vi_u = Vi[..., 1:hi][..., ::-1]
-    y_high = phr[h + 1:] * Vr_u + phi[h + 1:] * Vi_u
-    return jnp.concatenate([y_low, y_high], axis=-1)
+    if n % 4 == 0:
+        # z_p = v[2p] + i v[2p+1] with v = [x_even, rev(x_odd)]
+        # composes to stride-4 gathers of x
+        zr = jnp.concatenate([x[..., 0::4], x[..., 3::4][..., ::-1]],
+                             axis=-1)
+        zi = jnp.concatenate([x[..., 2::4], x[..., 1::4][..., ::-1]],
+                             axis=-1)
+    else:
+        v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]],
+                            axis=-1)
+        zr = v[..., 0::2]
+        zi = v[..., 1::2]
+    Zr, Zi = core.sfft(zr, zi, h, inverse=False)
+    Zmr, Zmi = core._zmirror(Zr, Zi)
+    T1, T2, T3, T4 = (jnp.asarray(t, dtype=x.dtype)
+                      for t in _dct2_tables(n))
+    y2 = (T1 * Zr[..., None, :] + T2 * Zi[..., None, :]
+          + T3 * Zmr[..., None, :] + T4 * Zmi[..., None, :])
+    return y2.reshape(*x.shape[:-1], n)
+
+
+def _dct3_tables(n: int):
+    """n % 4 == 0.  Coefficients of the gathered quadruple
+    (x_k, x_{n-k}, x_{h-k}, x_{h+k}) for (Zr, Zi) at bins k = 0..h-1.
+
+    Composition of the DCT-III phase stage V_k = ph_k (x_k - i x_{n-k})
+    with the c2r merge (see core._irfft_merge_tables) so the whole
+    pre-FFT pipeline is ONE table FMA instead of phase + merge passes
+    over ragged (n/2+1)-wide arrays.
+    """
+    h = n // 2
+    k = np.arange(h)
+    ph = np.exp(1j * np.pi * k / (2 * n))
+    phr, phi = ph.real, ph.imag
+    phF = np.exp(1j * np.pi * (h - k) / (2 * n))
+    phrF, phiF = phF.real, phF.imag
+    w = np.exp(-2j * np.pi * k / n)
+    wr, wi = w.real, w.imag
+    A = (phr * (1 + wi) - wr * phi, phi * (1 + wi) + wr * phr,
+         phrF * (1 - wi) - wr * phiF, phiF * (1 - wi) + wr * phrF)
+    B = (phi * (1 + wi) + wr * phr, -phr * (1 + wi) + wr * phi,
+         -phiF * (1 - wi) - wr * phrF, phrF * (1 - wi) - wr * phiF)
+    return A, B
 
 
 def _dct3_core(x, n: int):
-    """y[k] = x[0]/2 + sum_{j>=1} x[j] cos(pi*j*(2k+1)/(2n))."""
+    """y[k] = x[0]/2 + sum_{j>=1} x[j] cos(pi*j*(2k+1)/(2n)).
+
+    n % 4 == 0 runs the fused path: four slice/flip gathers of x, one
+    table FMA building the half-length spectrum directly, one inverse
+    complex FFT, and a 4-way interleave writing all n outputs (the
+    composed Makhoul + re/im un-permutations).  Other n keep the
+    phase + c2r formulation.
+    """
     from . import core
     if n == 1:
         return 0.5 * x
+    h = n // 2
+    if n % 4 == 0:
+        q = n // 4
+        z0 = jnp.zeros_like(x[..., :1])
+        xa = x[..., :h]                                   # x_k
+        xb = jnp.concatenate([z0, x[..., h + 1:][..., ::-1]], axis=-1)
+        xc = x[..., 1: h + 1][..., ::-1]                  # x_{h-k}
+        xd = x[..., h:]                                   # x_{h+k}
+        A, B = _dct3_tables(n)
+        a1, a2, a3, a4 = (jnp.asarray(t, dtype=x.dtype) for t in A)
+        b1, b2, b3, b4 = (jnp.asarray(t, dtype=x.dtype) for t in B)
+        Zr = xa * a1 + xb * a2 + xc * a3 + xd * a4
+        Zi = xa * b1 + xb * b2 + xc * b3 + xd * b4
+        zr, zi = core.sfft(Zr, Zi, h, inverse=True)
+        zr = 0.5 * zr
+        zi = 0.5 * zi
+        # y[4u..4u+3] = [zr_u, zi_{h-1-u}, zi_u, zr_{h-1-u}]
+        y4 = jnp.stack([zr[..., :q], zi[..., q:][..., ::-1],
+                        zi[..., :q], zr[..., q:][..., ::-1]], axis=-1)
+        return y4.reshape(*x.shape[:-1], n)
     xr = x[..., 1:][..., ::-1]  # x[n-k] for k=1..n-1
     pad = jnp.zeros_like(x[..., :1])
     xnk = jnp.concatenate([pad, xr], axis=-1)  # x[n-k], x[n]==0
@@ -91,7 +187,6 @@ def _dct3_core(x, n: int):
     # V = ph * (x - i*xnk); w = IDFT(V) is real, so V is conjugate-
     # symmetric: only bins 0..n//2 are needed and the inverse is one
     # c2r transform (half-length trick inside core.sirfft)
-    h = n // 2
     Vr = (phr * x + phi * xnk)[..., : h + 1]
     Vi = (phi * x - phr * xnk)[..., : h + 1]
     wr = core.sirfft(Vr, Vi, n)                 # unscaled c2r inverse

@@ -60,8 +60,18 @@ def _split(n: int, n_shards: int) -> tuple[int, int]:
     return best[1], best[2]
 
 
-def _core(x2, n1, n2, inverse, axis_name):
-    """Per-shard body: x2 is the local (B, N1, N2/D) block."""
+def _core(x2, n1, n2, inverse, axis_name, overlap_chunks=1):
+    """Per-shard body: x2 is the local (B, N1, N2/D) block.
+
+    ``overlap_chunks > 1`` runs the transpose/compute-overlap schedule
+    (SURVEY.md §7 hard part; in-core ancestor: cfft2f_'s strided second
+    pass, fftpack.c:2407-2426): the k1 axis is cut into chunks, each
+    chunk's ICI all-to-all issued independently so XLA's async
+    collective scheduler can hide chunk i+1's transpose behind chunk
+    i's stage-4 butterflies.  Numerically identical to the unchunked
+    path (same butterflies, same twiddles — only the transpose is
+    tiled); perf validation needs real multi-chip hardware.
+    """
     sign = 1.0 if inverse else -1.0
     idx = jax.lax.axis_index(axis_name)
     d = jax.lax.psum(1, axis_name)
@@ -76,13 +86,27 @@ def _core(x2, n1, n2, inverse, axis_name):
     tw = jnp.exp(jnp.asarray(sign * 2j * np.pi / n, dtype=a.dtype)
                  * (n2g * k1).astype(a.real.dtype))
     a = a * tw
-    # 3. all-to-all: split k1 (last axis), gather n2 -> (B, N2, N1/D)
-    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
-                           concat_axis=a.ndim - 2, tiled=True)
-    # 4. length-N2 FFTs along the gathered axis
-    a = jnp.swapaxes(a, -1, -2)                   # (B, N1/D, N2)
-    a = _dft_last_axis(a, n2, inverse)
-    return a                                      # block [k1_local, k2]
+
+    def transpose_rows(block):
+        # 3. all-to-all: split k1 (last axis), gather n2; 4. row FFTs
+        b = jax.lax.all_to_all(block, axis_name, split_axis=block.ndim - 1,
+                               concat_axis=block.ndim - 2, tiled=True)
+        b = jnp.swapaxes(b, -1, -2)               # (B, k1_chunk/D, N2)
+        return _dft_last_axis(b, n2, inverse)
+
+    if overlap_chunks <= 1:
+        return transpose_rows(a)                  # block [k1_local, k2]
+    # Chunk i must carry the i-th SUB-SLICE of every device's k1
+    # ownership range [j*N1/D, (j+1)*N1/D) — not a contiguous k1 block —
+    # so each chunk's all-to-all delivers device j a piece of its OWN
+    # contiguous range, and the chunk concat assembles it in order.
+    c = overlap_chunks
+    wdc = n1 // (c * d)
+    a4 = a.reshape(a.shape[:-1] + (d, c, wdc))
+    outs = [transpose_rows(
+        a4[..., i, :].reshape(a.shape[:-1] + (d * wdc,)))
+        for i in range(c)]
+    return jnp.concatenate(outs, axis=-2)
 
 
 def _lead_spec(lead_ndim: int, batch_axis_name):
@@ -94,19 +118,33 @@ def _lead_spec(lead_ndim: int, batch_axis_name):
     return spec
 
 
-def _fourstep(x, mesh, axis_name, inverse, norm, reorder, batch_axis_name):
+def _check_chunks(n1: int, d: int, overlap_chunks: int) -> int:
+    c = int(overlap_chunks)
+    if c < 1:
+        raise ValueError(f"overlap_chunks must be >= 1, got {c}")
+    if c > 1 and (n1 % c or (n1 // c) % d):
+        raise ValueError(
+            f"overlap_chunks={c}: N1={n1} must split into chunks "
+            f"divisible by the {d}-way mesh axis")
+    return c
+
+
+def _fourstep(x, mesh, axis_name, inverse, norm, reorder, batch_axis_name,
+              overlap_chunks=1):
     x = jnp.asarray(x)
     cdtype = complex_dtype_of(x.dtype)
     x = x.astype(cdtype)
     n = x.shape[-1]
     d = mesh.shape[axis_name]
     n1, n2 = _split(n, d)
+    c = _check_chunks(n1, d, overlap_chunks)
     lead = x.shape[:-1]
     x2 = x.reshape(lead + (n1, n2))
 
     ls = _lead_spec(len(lead), batch_axis_name)
     fs = shard_map(
-        partial(_core, n1=n1, n2=n2, inverse=inverse, axis_name=axis_name),
+        partial(_core, n1=n1, n2=n2, inverse=inverse, axis_name=axis_name,
+                overlap_chunks=c),
         mesh=mesh,
         in_specs=P(*ls, None, axis_name),
         out_specs=P(*ls, axis_name, None),
@@ -124,25 +162,33 @@ def _fourstep(x, mesh, axis_name, inverse, norm, reorder, batch_axis_name):
 
 def fft_fourstep(x, mesh: Mesh, axis_name: str = "data",
                  norm: str = DEFAULT_NORM, reorder: bool = True,
-                 batch_axis_name: str | None = None):
+                 batch_axis_name: str | None = None,
+                 overlap_chunks: int = 1):
     """Forward FFT over the last axis, length sharded across the mesh.
 
     ``reorder=False`` returns the (N1, N2) four-step layout (k1 sharded)
     — compose with :func:`ifft_fourstep` (``reordered=False``) for
     transform->pointwise->inverse pipelines with zero extra transposes.
+
+    ``overlap_chunks=C`` (C > 1) tiles the ICI transpose into C
+    independent all-to-all + row-FFT chains so the collective of one
+    chunk can hide behind another's butterflies (double-buffering).
+    Bit-identical results; requires N1 % (C*D) == 0.
     """
     return _fourstep(x, mesh, axis_name, False, check_norm(norm), reorder,
-                     batch_axis_name)
+                     batch_axis_name, overlap_chunks)
 
 
 def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
                   norm: str = DEFAULT_NORM, reordered: bool = True,
-                  batch_axis_name: str | None = None):
+                  batch_axis_name: str | None = None,
+                  overlap_chunks: int = 1):
     """Inverse of :func:`fft_fourstep`.
 
     With ``reordered=False`` the input is the (N1, N2) four-step layout
     as produced by ``fft_fourstep(..., reorder=False)``; the inverse
     runs the mirrored schedule so the composition is exact.
+    ``overlap_chunks`` as in :func:`fft_fourstep`.
     """
     y = jnp.asarray(y)
     norm = check_norm(norm)
@@ -157,6 +203,7 @@ def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
         n1, n2 = y2.shape[-2], y2.shape[-1]
         n = n1 * n2
     lead = y2.shape[:-2]
+    c = _check_chunks(n2, mesh.shape[axis_name], overlap_chunks)
     # mirrored schedule: treat the forward OUTPUT layout (k1, k2) as the
     # four-step input of the inverse transform with roles of (N1, N2)
     # swapped: Z[m2*N1... ] — concretely, run _core on the transposed
@@ -164,7 +211,8 @@ def ifft_fourstep(y, mesh: Mesh, axis_name: str = "data",
     z2 = jnp.swapaxes(y2, -1, -2)  # (..., k2=N2, k1=N1)
     ls = _lead_spec(len(lead), batch_axis_name)
     fs = shard_map(
-        partial(_core, n1=n2, n2=n1, inverse=True, axis_name=axis_name),
+        partial(_core, n1=n2, n2=n1, inverse=True, axis_name=axis_name,
+                overlap_chunks=c),
         mesh=mesh,
         in_specs=P(*ls, None, axis_name),
         out_specs=P(*ls, axis_name, None),

@@ -126,3 +126,30 @@ def test_grad_flows():
 
     g = jax.grad(loss)(x)
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+@pytest.mark.parametrize("n", [8192, 12288, 10000])
+def test_local_fourstep_matches_numpy(n):
+    """Large n routes through the in-core four-step decomposition
+    (core._fourstep_local); parity vs numpy in f64 pins the twiddle
+    and digit-reversal order."""
+    from cfftpack_tpu.ops import core
+    assert core._fourstep_split_n(n) is not None
+    r = np.random.default_rng(5)
+    x = r.standard_normal(n) + 1j * r.standard_normal(n)
+    got = np.asarray(ct.fft(x))
+    want = np.fft.fft(x) / n
+    np.testing.assert_allclose(got, want, atol=1e-11)
+    back = np.asarray(ct.ifft(ct.fft(x)))
+    np.testing.assert_allclose(back, x, atol=1e-11)
+
+
+def test_local_fourstep_large_bluestein_roundtrip():
+    """Bluestein's internal length-m transforms also route through the
+    four-step for large m; round-trip at a large prime n."""
+    r = np.random.default_rng(6)
+    n = 8209   # prime > _FOURSTEP_MIN
+    x = r.standard_normal(n) + 1j * r.standard_normal(n)
+    got = np.asarray(ct.fft(x))
+    want = np.fft.fft(x) / n
+    np.testing.assert_allclose(got, want, atol=1e-10)

@@ -249,3 +249,46 @@ def test_fft2_sharded_collective_budget():
     assert n_a2a == 2, f"expected exactly 2 all-to-alls, got {n_a2a}"
     for coll in ("all-reduce(", "all-gather(", "reduce-scatter("):
         assert coll not in txt, f"unexpected {coll} in 2-D FFT HLO"
+
+
+def test_fourstep_overlap_parity():
+    """overlap_chunks tiles the transpose; results must be bit-identical
+    to the unchunked schedule and round-trip with the chunked inverse."""
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = jnp.asarray(rng_complex((3, 1024), seed=7))
+    base = np.asarray(fft_fourstep(x, mesh, reorder=False))
+    for c in (2, 4):
+        got = np.asarray(fft_fourstep(x, mesh, reorder=False,
+                                      overlap_chunks=c))
+        np.testing.assert_array_equal(got, base)
+    spec = fft_fourstep(x, mesh, reorder=False, overlap_chunks=4)
+    back = np.asarray(ifft_fourstep(spec, mesh, reordered=False,
+                                    overlap_chunks=4))
+    np.testing.assert_allclose(back, np.asarray(x), atol=1e-12)
+
+
+def test_fourstep_overlap_collective_schedule():
+    """The chunked schedule must lower to exactly C independent
+    all-to-alls (one per chunk) and no other collectives — the HLO
+    shape XLA's async scheduler needs to hide transpose behind
+    butterflies."""
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    x = jnp.zeros(4096, jnp.complex64)
+    f = jax.jit(lambda a: fft_fourstep(a, mesh, reorder=False,
+                                       overlap_chunks=4))
+    txt = f.lower(x).compile().as_text()
+    n_a2a = sum(1 for line in txt.splitlines() if "all-to-all(" in line)
+    assert n_a2a == 4, f"expected 4 chunked all-to-alls, got {n_a2a}"
+    for coll in ("all-reduce(", "all-gather(", "reduce-scatter("):
+        assert coll not in txt, f"unexpected {coll} in overlap HLO"
+
+
+def test_fourstep_overlap_bad_chunks():
+    mesh = local_mesh()
+    x = np.zeros(512, np.complex64)
+    with pytest.raises(ValueError):
+        fft_fourstep(x, mesh, overlap_chunks=3)   # N1=... not divisible
+    with pytest.raises(ValueError):
+        fft_fourstep(x, mesh, overlap_chunks=0)
