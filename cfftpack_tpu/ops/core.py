@@ -158,55 +158,66 @@ def _cmul_tab(xr, xi, tr, ti):
 #   transpose!), twiddle e^{sgn 2i pi k1 j2/n}, FFT over j2 (last axis),
 #   one final (k1, k2) -> k2-major transpose for natural order.
 
-_FOURSTEP_MIN = 8192          # measured crossover on v5e (see BASELINE.md)
+_FOURSTEP_MIN = 65536         # measured crossover on v5e (see BASELINE.md)
+_DENSE_N1_MAX = 64            # outer DFT as one MXU einsum up to this
 
 
-def _stockham_axis2(xr, xi, n1: int, inverse: bool):
-    """Stockham FFT over axis -2 of (..., n1, nl) — the trailing axis
-    stays in lanes; all stage data movement is over sublane rows."""
-    shape = xr.shape
-    nl = shape[-1]
-    Sr = xr.reshape(-1, 1, n1, nl)
-    Si = xi.reshape(-1, 1, n1, nl)
-    B = Sr.shape[0]
-    L, m = 1, n1
-    for p, tw in zip(plan.factor(n1), plan.stage_twiddles(n1)):
-        mn = m // p
-        Ur, Ui = _butterfly(Sr.reshape(B, L, p, mn, nl),
-                            Si.reshape(B, L, p, mn, nl), p, inverse, axis=2)
-        if mn > 1:
-            twr = jnp.asarray(tw.real, dtype=xr.dtype)[None, None, :, :,
-                                                       None]
-            twi_ = tw.imag if not inverse else -tw.imag
-            twi = jnp.asarray(twi_, dtype=xr.dtype)[None, None, :, :, None]
-            Vr = Ur * twr - Ui * twi
-            Vi = Ur * twi + Ui * twr
-            Ur, Ui = Vr, Vi
-        Sr = jnp.swapaxes(Ur, 1, 2).reshape(B, L * p, mn, nl)
-        Si = jnp.swapaxes(Ui, 1, 2).reshape(B, L * p, mn, nl)
-        L *= p
-        m = mn
-    return Sr.reshape(shape), Si.reshape(shape)
+def _dft_axis2_dense(xr, xi, n1: int, inverse: bool):
+    """DFT over axis -2 of (..., n1, nl) as one dense MXU contraction.
+
+    For small n1 the (n1, n1) matrix contraction keeps the lane axis
+    untouched — measured 3x faster than a butterfly-stage formulation
+    over axis -2 on v5e (whose 5-D stage reshapes relayout every pass).
+    precision=HIGHEST: the MXU otherwise multiplies f32 as bf16.
+    """
+    D = plan.dft_matrix(n1)
+    if inverse:
+        D = np.conj(D)
+    Dr = jnp.asarray(D.real, dtype=xr.dtype)
+    Di = jnp.asarray(D.imag, dtype=xr.dtype)
+    kw = dict(precision=jax.lax.Precision.HIGHEST,
+              preferred_element_type=xr.dtype)
+    Yr = (jnp.einsum("kj,...jl->...kl", Dr, xr, **kw)
+          - jnp.einsum("kj,...jl->...kl", Di, xi, **kw))
+    Yi = (jnp.einsum("kj,...jl->...kl", Dr, xi, **kw)
+          + jnp.einsum("kj,...jl->...kl", Di, xr, **kw))
+    return Yr, Yi
 
 
 def _fourstep_split_n(n: int) -> tuple[int, int] | None:
-    """n1*n2 == n with n2 in [128, 4096] (lane-friendly) and n1 >= 2,
-    n2 as large as possible; None if no such split exists."""
+    """n1*n2 == n with n1 the divisor closest to 64 in [8, 256].
+
+    Measured on v5e: the dense outer contraction peaks at n1 = 64
+    (n1 = 16 starves the MXU at 3x the cost); overlong n2 recurses
+    through _fft_any, so n2 is unbounded here.  None if no divisor of
+    n lies in the window (then the flat engine runs)."""
     best = None
-    for n2 in range(min(n // 2, 4096), 127, -1):
-        if n % n2 == 0:
-            best = (n // n2, n2)
-            break
-    return best
+    for n1 in range(8, 257):
+        if n % n1 == 0 and n // n1 >= 128:
+            if best is None or abs(n1 - 64) < abs(best - 64):
+                best = n1
+    if best is None:
+        return None
+    return best, n // best
 
 
 def _fourstep_local(xr, xi, n: int, inverse: bool):
+    """In-core four-step: x[j1*n2+j2] as (n1, n2); outer DFT over j1
+    (dense MXU for n1 <= 64, else transpose + recursive flat FFT),
+    twiddle, flat FFT over j2, digit-reversal transpose to natural
+    order."""
     n1, n2 = _fourstep_split_n(n)
     lead = xr.shape[:-1]
     x2r = xr.reshape(lead + (n1, n2))
     x2i = xi.reshape(lead + (n1, n2))
-    # FFT over j1 (axis -2): no transpose, n2 stays in lanes
-    Ar, Ai = _stockham_axis2(x2r, x2i, n1, inverse)
+    if n1 <= _DENSE_N1_MAX:
+        Ar, Ai = _dft_axis2_dense(x2r, x2i, n1, inverse)
+    else:
+        tr = jnp.swapaxes(x2r, -1, -2)
+        ti = jnp.swapaxes(x2i, -1, -2)
+        tr, ti = _fft_any(tr, ti, n1, inverse)
+        Ar = jnp.swapaxes(tr, -1, -2)
+        Ai = jnp.swapaxes(ti, -1, -2)
     # twiddle e^{sgn*2i pi k1 j2 / n}
     k1 = np.arange(n1)[:, None]
     j2 = np.arange(n2)[None, :]
