@@ -8,10 +8,15 @@ naive O(n^2) oracles (reference tolerances: 1e-13 f64 / 1e-4 f32,
 """
 import os
 
+# 4 virtual devices: matches this host's core count so sharded-program
+# compiles (the suite's dominant cost — tracing/lowering is not served
+# by the persistent cache) stay ~2x cheaper than an 8-way partition.
+# The 8-device shape is still exercised every round by the driver's
+# dryrun_multichip(8) artifact.
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8").strip()
+        flags + " --xla_force_host_platform_device_count=4").strip()
 os.environ["JAX_PLATFORMS"] = "cpu"
 
 import jax  # noqa: E402

@@ -2,7 +2,7 @@
 
 SURVEY.md §4 multi-chip strategy: sharded output == single-device
 output == oracle, on a host-platform mesh
-(xla_force_host_platform_device_count=8, set in conftest.py).
+(xla_force_host_platform_device_count=4, set in conftest.py).
 """
 import numpy as np
 import pytest
@@ -26,7 +26,7 @@ def rng_complex(shape, seed=0):
 def test_mesh_helpers():
     m = local_mesh()
     assert m.shape["data"] == NDEV
-    m2 = make_mesh((2, 4), ("data", "model"))
+    m2 = make_mesh((2, 2), ("data", "model"))
     assert m2.shape == {"data": 2, "model": 4}
     with pytest.raises(ValueError):
         make_mesh((64, 64))
@@ -136,7 +136,7 @@ def test_fft2_sharded_batched():
 
 
 def test_fft2_sharded_uses_one_mesh_dim_of_2d_mesh():
-    m2 = make_mesh((4, 2), ("data", "model"))
+    m2 = make_mesh((2, 2), ("data", "model"))
     x = rng_complex((16, 16), seed=23)
     got = np.asarray(fft2_sharded(x, m2, axis_name="data"))
     np.testing.assert_allclose(got, np.asarray(ct.fft2(x)), atol=TOL * 8)
@@ -160,7 +160,7 @@ def test_dctn2_sharded_matches_dctn():
 
 def test_rowcol2d_sharded_batched_with_2d_mesh():
     from cfftpack_tpu.parallel import dctn2_sharded
-    m2 = make_mesh((2, 4), ("data", "model"))
+    m2 = make_mesh((2, 2), ("data", "model"))
     x = np.random.default_rng(33).standard_normal((4, 16, 16))
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P

@@ -52,7 +52,7 @@ def test_fourstep_batched_weak_scaling_shape():
     """Batch-sharded + length-sharded composition on a 2-D mesh."""
     from cfftpack_tpu.parallel import make_mesh
     from jax.sharding import NamedSharding, PartitionSpec as P
-    mesh = make_mesh((4, 2), ("data", "model"))
+    mesh = make_mesh((2, 2), ("data", "model"))
     r = np.random.default_rng(2)
     x = jnp.asarray((r.standard_normal((8, 256))
                      + 1j * r.standard_normal((8, 256))).astype(np.complex64))
