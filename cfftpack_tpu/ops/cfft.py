@@ -142,11 +142,17 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool,
         xi = jnp.moveaxis(xi, axis, -1)
     if impl == "pallas":
         from .pallas_fft import pallas_eligible, sfft_pallas
-        if not pallas_eligible(n, xr.dtype):
+        from .pallas_fourstep import (fourstep_pallas_eligible,
+                                      sfft_fourstep_pallas)
+        if fourstep_pallas_eligible(n, xr.dtype):
+            # large-n fused four-step kernel (ops/pallas_fourstep.py)
+            yr, yi = sfft_fourstep_pallas(xr, xi, n, inverse)
+        elif pallas_eligible(n, xr.dtype):
+            yr, yi = sfft_pallas(xr, xi, n, inverse)
+        else:
             raise ValueError(
                 f"impl='pallas' unsupported for n={n}, dtype={xr.dtype} "
                 "(needs f32 and largest prime factor <= 32)")
-        yr, yi = sfft_pallas(xr, xi, n, inverse)
     elif impl == "xla":
         yr, yi = core.sfft(xr, xi, n, inverse)
     else:

@@ -225,8 +225,13 @@ def _fourstep_local(xr, xi, n: int, inverse: bool):
     tw = np.exp(sgn * (k1 * j2))
     Tr, Ti = _cmul_tab(Ar, Ai, jnp.asarray(tw.real, dtype=xr.dtype),
                        jnp.asarray(tw.imag, dtype=xr.dtype))
-    # FFT over j2 (last axis); n1 joins the batch
-    Yr, Yi = _stockham(Tr, Ti, n2, inverse)
+    # FFT over j2 (last axis); n1 joins the batch.  Flatten the leading
+    # dims first: measured v5e, _stockham on a (B, n1, n2) carry runs
+    # ~2x slower than on the identical (B*n1, n2) data (XLA layout
+    # choice for the 3-D loop carry), even though the math is the same.
+    Yr, Yi = _stockham(Tr.reshape(-1, n2), Ti.reshape(-1, n2), n2, inverse)
+    Yr = Yr.reshape(lead + (n1, n2))
+    Yi = Yi.reshape(lead + (n1, n2))
     # natural order: X[k1 + n1*k2] -> k2-major flatten
     Yr = jnp.swapaxes(Yr, -1, -2).reshape(lead + (n,))
     Yi = jnp.swapaxes(Yi, -1, -2).reshape(lead + (n,))

@@ -51,3 +51,37 @@ def test_eligibility():
     assert not pallas_eligible(101, jnp.float32)     # Bluestein length
     assert not pallas_eligible(1, jnp.float32)
     assert not pallas_eligible(1024, jnp.float64)    # f32-only kernel
+
+
+# ---------------------------------------------- four-step kernel
+
+def test_fourstep_kernel_matches_numpy():
+    from cfftpack_tpu.ops.pallas_fourstep import (
+        fourstep_pallas_eligible, sfft_fourstep_pallas)
+    assert fourstep_pallas_eligible(4096, jnp.float32)
+    assert fourstep_pallas_eligible(65536, jnp.float32)
+    assert not fourstep_pallas_eligible(4096, jnp.float64)
+    assert not fourstep_pallas_eligible(131072, jnp.float32)  # n2=2048
+    r = np.random.default_rng(3)
+    n, b = 4096, 3            # odd batch exercises pair padding
+    x = (r.standard_normal((b, n))
+         + 1j * r.standard_normal((b, n))).astype(np.complex64)
+    yr, yi = sfft_fourstep_pallas(x.real, x.imag, n, False)
+    want = np.fft.fft(x.astype(np.complex128))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-6
+    zr, zi = sfft_fourstep_pallas(np.asarray(yr), np.asarray(yi), n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    assert np.abs(back - x).max() < 1e-5
+
+
+def test_fft_split_pallas_routes_large_n():
+    import cfftpack_tpu as ct
+    r = np.random.default_rng(4)
+    n = 4096
+    xr = r.standard_normal((2, n)).astype(np.float32)
+    xi = r.standard_normal((2, n)).astype(np.float32)
+    pr, pi = ct.fft_split(xr, xi, impl="pallas")
+    er, ei = ct.fft_split(xr, xi)
+    assert np.abs(np.asarray(pr) - np.asarray(er)).max() < 1e-5
+    assert np.abs(np.asarray(pi) - np.asarray(ei)).max() < 1e-5
