@@ -14,6 +14,7 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   dct, idct, dst, idst, dctn, idctn, dstn, idstn,
                   gdft, igdft, fftshift, ifftshift,
                   fft_split, ifft_split, rfft_split, irfft_split,
+                  rfilter_split,
                   gdft_split, igdft_split,
                   fftfreq, rfftfreq, circular_convolve)
 

@@ -20,7 +20,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..ops.rfft import rfft_split, irfft_split
+from ..ops.rfft import rfilter_split
 from ..plan import fft_next_fast_even_size
 from .chfun import bs_cf, vg_cf
 
@@ -29,11 +29,10 @@ __all__ = ["conv_option_price", "conv_bsvg_option"]
 
 @partial(jax.jit, static_argnums=(3,))
 def _conv_kernel(V, phir, phii, n: int):
-    sr, si = rfft_split(V)                     # (B, n//2+1), fftpack norm
-    # multiply by conj(phi): (sr + i si)(pr - i pi)
-    tr = sr * phir + si * phii
-    ti = si * phir - sr * phii
-    return irfft_split(tr, ti, n)
+    # fused irfft(rfft(V) * conj(phi)) — one half-length FFT pair plus
+    # one half-spectrum FMA; skips the packed merge/un-merge passes of
+    # the rfft_split -> multiply -> irfft_split composition entirely
+    return rfilter_split(V, phir, -phii)
 
 
 def conv_option_price(S, K, t, r, phi_fn, n: int = 1 << 14,

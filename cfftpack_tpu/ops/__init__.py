@@ -1,7 +1,7 @@
 from .cfft import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                    fft_split, ifft_split)
 from .rfft import (rfft, irfft, rfft2, irfft2,  # noqa: F401
-                   rfft_split, irfft_split)
+                   rfft_split, irfft_split, rfilter_split)
 from .dct import (dct, idct, dst, idst,  # noqa: F401
                   dctn, idctn, dstn, idstn)
 from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401

@@ -114,11 +114,20 @@ def _dct2_core(x, n: int):
         zr = v[..., 0::2]
         zi = v[..., 1::2]
     Zr, Zi = core.sfft(zr, zi, h, inverse=False)
-    Zmr, Zmi = core._zmirror(Zr, Zi)
-    T1, T2, T3, T4 = (jnp.asarray(t, dtype=x.dtype)
-                      for t in _dct2_tables(n))
-    y2 = (T1 * Zr[..., None, :] + T2 * Zi[..., None, :]
-          + T3 * Zmr[..., None, :] + T4 * Zmi[..., None, :])
+    T1, T2, T3, T4 = _dct2_tables(n)
+    # interior bins via slice+flip mirror operands (fuses into the FMA;
+    # see core.srfft note), bin-0 column from Z_0 where Zm == Z
+    t1, t2, t3, t4 = (jnp.asarray(t[:, 1:], dtype=x.dtype)
+                      for t in (T1, T2, T3, T4))
+    Zrc = Zr[..., None, 1:]
+    Zic = Zi[..., None, 1:]
+    Zrf = Zrc[..., ::-1]
+    Zif = Zic[..., ::-1]
+    y_c = t1 * Zrc + t2 * Zic + t3 * Zrf + t4 * Zif
+    c0r = jnp.asarray((T1 + T3)[:, :1], dtype=x.dtype)
+    c0i = jnp.asarray((T2 + T4)[:, :1], dtype=x.dtype)
+    y_0 = c0r * Zr[..., None, :1] + c0i * Zi[..., None, :1]
+    y2 = jnp.concatenate([y_0, y_c], axis=-1)
     return y2.reshape(*x.shape[:-1], n)
 
 

@@ -32,7 +32,7 @@ from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
                       inv_scale, real_dtype_of)
 from .cfft import _apply_axis
 
-__all__ = ["rfft", "irfft", "rfft2", "irfft2"]
+__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfilter_split"]
 
 
 def _rfft_core(x, n: int):
@@ -200,6 +200,120 @@ def _irfft_split_impl(yr, yi, n: int, axis: int, norm: str):
 
 _rfft_split_jit = jax.jit(_rfft_split_impl, static_argnums=(1, 2))
 _irfft_split_jit = jax.jit(_irfft_split_impl, static_argnums=(2, 3, 4))
+
+
+def _rfilter_tables(n: int):
+    """Host tables c1..c4 (complex, h bins) for the fused real filter.
+
+    Derivation: compose srfft's packed merge Y = Ze + w*Zo, the
+    spectral multiply V = F*Y, and sirfft's un-merge Z' = (1+i*conj(w))V
+    + (1-i*conj(w))*conj(V_mirror) into Z' = P*Z + Q*conj(Z_mirror)
+    with P = c1*F + c3*conj(Fm), Q = c2*F + c4*conj(Fm) — the whole
+    filter pipeline then needs NO packed (n/2+1)-bin spectrum at all.
+    """
+    h = n // 2
+    k = np.arange(h)
+    w = np.exp(-2j * np.pi * k / n)
+    A = 1 + 1j * np.conj(w)
+    B = 1 - 1j * np.conj(w)
+    return (A * (1 - 1j * w) / 2, A * (1 + 1j * w) / 2,
+            B * (1 + 1j * w) / 2, B * (1 - 1j * w) / 2)
+
+
+def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
+    """Fused irfft(rfft(x) * F): deinterleave -> one n/2 complex FFT ->
+    one half-spectrum FMA -> inverse FFT -> interleave.
+
+    Skips the packed-spectrum merge AND un-merge (each a full memory
+    pass on TPU) of the rfft -> multiply -> irfft composition — the
+    hot path of every reference conv app (vargamma.c:42-106,
+    blackscholes.cpp:30-80).
+    """
+    from . import core
+    x = jnp.asarray(x)
+    fr = jnp.asarray(fr)
+    fi = jnp.asarray(fi)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    fr = fr.astype(x.dtype)
+    fi = fi.astype(x.dtype)
+    n = x.shape[axis]
+    if fr.shape[-1] != n // 2 + 1 or fi.shape[-1] != n // 2 + 1:
+        raise ValueError(
+            f"rfilter_split: filter must have n//2+1 = {n // 2 + 1} "
+            f"packed bins, got {fr.shape[-1]}")
+    axis = axis % x.ndim
+    move = axis != x.ndim - 1
+    if move:
+        x = jnp.moveaxis(x, axis, -1)
+    s = fwd_scale(norm, n) * inv_scale(norm, n)
+    if n % 2:
+        # odd n: plain composition (no half-length packing to fuse)
+        yr, yi = core.srfft(x, n)
+        tr = yr * fr - yi * fi
+        ti = yr * fi + yi * fr
+        out = core.sirfft(tr, ti, n)
+    else:
+        h = n // 2
+        zr = x[..., 0::2]
+        zi = x[..., 1::2]
+        Zr, Zi = core.sfft(zr, zi, h, inverse=False)
+        # in-graph P, Q from the (traced) filter and host tables
+        c1, c2, c3, c4 = _rfilter_tables(n)
+        c1r, c1i = _t(c1.real, x.dtype), _t(c1.imag, x.dtype)
+        c2r, c2i = _t(c2.real, x.dtype), _t(c2.imag, x.dtype)
+        c3r, c3i = _t(c3.real, x.dtype), _t(c3.imag, x.dtype)
+        c4r, c4i = _t(c4.real, x.dtype), _t(c4.imag, x.dtype)
+        Fr, Fi = fr[..., :h], fi[..., :h]
+        # conj(Fm): Fm_k = F_{h-k}, k = 0..h-1
+        Fmr = fr[..., 1:][..., ::-1]
+        Fmi = -fi[..., 1:][..., ::-1]
+        Pr = c1r * Fr - c1i * Fi + c3r * Fmr - c3i * Fmi
+        Pi = c1r * Fi + c1i * Fr + c3r * Fmi + c3i * Fmr
+        Qr = c2r * Fr - c2i * Fi + c4r * Fmr - c4i * Fmi
+        Qi = c2r * Fi + c2i * Fr + c4r * Fmi + c4i * Fmr
+        # Z' = P*Z + Q*conj(Zm); mirror via slice+flip (fuses into FMA)
+        def zmul(pr, pi, qr, qi, Ar, Ai, Br, Bi):
+            # (pr+ipi)(Ar+iAi) + (qr+iqi)(Br-iBi)
+            re = pr * Ar - pi * Ai + qr * Br + qi * Bi
+            im = pr * Ai + pi * Ar + qi * Br - qr * Bi
+            return re, im
+        Z0r, Z0i = zmul(Pr[..., :1], Pi[..., :1], Qr[..., :1],
+                        Qi[..., :1], Zr[..., :1], Zi[..., :1],
+                        Zr[..., :1], Zi[..., :1])
+        Zcr_, Zci_ = zmul(Pr[..., 1:], Pi[..., 1:], Qr[..., 1:],
+                          Qi[..., 1:], Zr[..., 1:], Zi[..., 1:],
+                          Zr[..., 1:][..., ::-1], Zi[..., 1:][..., ::-1])
+        Zpr = jnp.concatenate([Z0r, Zcr_], axis=-1)
+        Zpi = jnp.concatenate([Z0i, Zci_], axis=-1)
+        wr_, wi_ = core.sfft(Zpr, Zpi, h, inverse=True)
+        out = jnp.stack([wr_, wi_], axis=-1).reshape(*wr_.shape[:-1], n)
+    # the unscaled pipeline is sirfft(srfft(x)*F); the public
+    # composition applies fwd_scale then inv_scale on top
+    if s != 1.0:
+        out = out * jnp.asarray(s, dtype=out.dtype)
+    if move:
+        out = jnp.moveaxis(out, -1, axis)
+    return out
+
+
+def _t(tab, dtype):
+    return jnp.asarray(tab, dtype=dtype)
+
+
+_rfilter_split_jit = jax.jit(_rfilter_split_impl, static_argnums=(3, 4))
+
+
+def rfilter_split(x, fr, fi, axis: int = -1, norm: str = DEFAULT_NORM):
+    """Fused real spectral filter: irfft(rfft(x) * (fr + i*fi)).
+
+    ``(fr, fi)`` is the packed (n//2+1)-bin filter spectrum (the split
+    form of a real filter's rfft).  Exactly equal to the composition
+    ``irfft_split(*{rfft_split(x) complex-multiplied by F}, n)`` for
+    every norm, but runs one half-length FFT + one fused FMA + one
+    inverse — no packed-spectrum merge/un-merge passes.
+    """
+    return _rfilter_split_jit(x, fr, fi, axis, check_norm(norm))
 
 
 def rfft_split(x, axis: int = -1, norm: str = DEFAULT_NORM):

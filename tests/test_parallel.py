@@ -27,7 +27,7 @@ def test_mesh_helpers():
     m = local_mesh()
     assert m.shape["data"] == NDEV
     m2 = make_mesh((2, 2), ("data", "model"))
-    assert m2.shape == {"data": 2, "model": 4}
+    assert m2.shape == {"data": 2, "model": 2}
     with pytest.raises(ValueError):
         make_mesh((64, 64))
 

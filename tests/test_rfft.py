@@ -109,3 +109,33 @@ def test_rfft_grad_flows():
 
     g = jax.grad(loss)(rng_real((32,), seed=4))
     assert np.all(np.isfinite(np.asarray(g)))
+
+
+# ------------------------------------------------ fused real filter
+
+@pytest.mark.parametrize("n", [2, 8, 16, 60, 61, 1024])
+@pytest.mark.parametrize("norm", ["fftpack", "ortho", "backward"])
+def test_rfilter_split_matches_composition(n, norm):
+    """rfilter_split == irfft(rfft(x) * F) exactly, every norm/parity."""
+    r = np.random.default_rng(11)
+    x = r.standard_normal((3, n))
+    f = r.standard_normal(n)
+    yr, yi = ct.rfft_split(f, norm="fftpack")
+    sr, si = ct.rfft_split(x, norm=norm)
+    tr = sr * yr - si * yi
+    ti = sr * yi + si * yr
+    want = np.asarray(ct.irfft_split(tr, ti, n, norm=norm))
+    got = np.asarray(ct.rfilter_split(x, yr, yi, norm=norm))
+    np.testing.assert_allclose(got, want, atol=1e-12 * max(1.0, n))
+
+
+def test_rfilter_split_axis_and_validation():
+    r = np.random.default_rng(12)
+    x = r.standard_normal((6, 5))
+    f = r.standard_normal(6)
+    yr, yi = ct.rfft_split(f)
+    got = np.asarray(ct.rfilter_split(x, yr, yi, axis=0))
+    want = np.asarray(ct.rfilter_split(x.T, yr, yi)).T
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    with pytest.raises(ValueError):
+        ct.rfilter_split(x, yr[:-1], yi[:-1], axis=0)
