@@ -158,8 +158,12 @@ def _cmul_tab(xr, xi, tr, ti):
 #   transpose!), twiddle e^{sgn 2i pi k1 j2/n}, FFT over j2 (last axis),
 #   one final (k1, k2) -> k2-major transpose for natural order.
 
-_FOURSTEP_MIN = 65536         # measured crossover on v5e (see BASELINE.md)
+_FOURSTEP_MIN = 8192          # measured crossover on v5e (see BASELINE.md)
 _DENSE_N1_MAX = 64            # outer DFT as one MXU einsum up to this
+_LANE_BATCH = 128             # one TPU lane tile; flat needs >= this batch
+_BIG_ELEMS = 1 << 24          # past this, chunk the batch (see _fft_any)
+_MAPFOUR_MIN_N = 1 << 17      # chunked four-step below this n loses to
+                              # chunked flat (measured v5e)
 
 
 def _dft_axis2_dense(xr, xi, n1: int, inverse: bool):
@@ -238,10 +242,46 @@ def _fourstep_local(xr, xi, n: int, inverse: bool):
     return Yr, Yi
 
 
+def _map_chunks(fn, xr, xi, bc: int):
+    """Apply ``fn`` over lane-tile batch chunks with a sequential
+    lax.map so each chunk's stage chain stays VMEM-resident (one big
+    fused program thrashes HBM past ~2^23 elements — measured v5e)."""
+    lead = xr.shape[:-1]
+    n = xr.shape[-1]
+    cr = xr.reshape(-1, bc, n)
+    ci = xi.reshape(-1, bc, n)
+    yr, yi = jax.lax.map(lambda c: fn(c[0], c[1]), (cr, ci))
+    return yr.reshape(lead + (n,)), yi.reshape(lead + (n,))
+
+
 def _fft_any(xr, xi, n: int, inverse: bool):
-    """Dispatch: four-step for large lane-splittable n, else flat."""
-    if n >= _FOURSTEP_MIN and _fourstep_split_n(n) is not None:
+    """Engine dispatch, batch-aware (all crossovers measured on v5e —
+    see BASELINE.md "engine dispatch" table):
+
+    * batch < 128 (one lane tile) starves the flat engine's stage
+      relayouts once n >= 8192: the in-core four-step (dense MXU outer)
+      wins 1.6-5x there.
+    * batch >= 128 with the working set under ~2^23 elements: the flat
+      Stockham chain fuses in VMEM and wins everywhere.
+    * huge working sets (>= 2^24 elements) thrash HBM per stage in one
+      fused program; a sequential lax.map over lane-tile batch chunks
+      recovers 1.8-2.9x (chunked four-step for n >= 2^17, chunked flat
+      otherwise).
+    """
+    bp = 1
+    for d in xr.shape[:-1]:
+        bp *= int(d)
+    split = _fourstep_split_n(n)
+    if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
         return _fourstep_local(xr, xi, n, inverse)
+    if bp * n >= _BIG_ELEMS and bp % 32 == 0:
+        if n >= _MAPFOUR_MIN_N and split is not None:
+            return _map_chunks(
+                lambda a, b: _fourstep_local(a, b, n, inverse), xr, xi, 32)
+        if bp % _LANE_BATCH == 0 and bp >= 2 * _LANE_BATCH:
+            return _map_chunks(
+                lambda a, b: _stockham(a, b, n, inverse), xr, xi,
+                _LANE_BATCH)
     return _stockham(xr, xi, n, inverse)
 
 
@@ -282,8 +322,8 @@ def _warn_f64_tpu(dtype):
 def sfft(xr, xi, n: int, inverse: bool):
     """Unscaled mixed-radix DFT over the last axis of an (re, im) pair.
 
-    Large n (>= _FOURSTEP_MIN) with a lane-friendly n1*n2 split run the
-    local four-step decomposition; see _fourstep_local above.
+    Engine choice is batch-aware (flat Stockham / in-core four-step /
+    batch-chunked lax.map); see _fft_any for the measured dispatch.
     """
     _warn_f64_tpu(xr.dtype)
     if plan.needs_bluestein(n):
