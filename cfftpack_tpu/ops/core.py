@@ -378,6 +378,89 @@ def _t(tab, dtype):
     return jnp.asarray(tab, dtype=dtype)
 
 
+# Real-engine formulation: "half" = half-length complex trick (even n
+# only), "pair" = batch-pair packing (any n, needs even flat batch),
+# "auto" = measured dispatch.  The batch-pair trick packs ADJACENT
+# BATCH ROWS z = x[2r] + i*x[2r+1] — a sublane-cheap pairing — into one
+# full-length complex FFT at half the batch, instead of the half-length
+# trick's stride-2 LANE deinterleave (a full relayout pass on TPU).
+# Classic two-for-one real-FFT identity; reference analog: the real
+# kernels' r2c packing rfftf1_ (fftpack.c:13517-13610).
+_RFFT_ENGINE = "auto"
+
+
+def _flat_batch(shape) -> int:
+    b = 1
+    for d in shape[:-1]:
+        b *= int(d)
+    return b
+
+
+def _srfft_batchpair(x, n: int):
+    """r2c via batch pairing: one length-n complex FFT at batch/2.
+
+    U = rfft(x[2r]), V = rfft(x[2r+1]) from Z = fft(x[2r] + i x[2r+1]):
+    U = (Z + conj(Zm))/2, V = -i(Z - conj(Zm))/2, Zm_k = Z_{(n-k)%n}.
+    imag(DC) and (even n) imag(Nyquist) are EXACT zeros by construction
+    (a-a cancellation), preserving the packed contract.
+    """
+    lead = x.shape[:-1]
+    B = _flat_batch(x.shape)
+    h = n // 2
+    xp = x.reshape(B // 2, 2, n)
+    Zr, Zi = sfft(xp[:, 0], xp[:, 1], n, inverse=False)
+    Z0r = Zr[..., : h + 1]
+    Z0i = Zi[..., : h + 1]
+    # Zm bins 0..h: bin 0 is Z_0; k>=1 reads Z_{n-k} = slice+flip
+    Zmr = jnp.concatenate([Zr[..., :1], Zr[..., n - h:][..., ::-1]],
+                          axis=-1)
+    Zmi = jnp.concatenate([Zi[..., :1], Zi[..., n - h:][..., ::-1]],
+                          axis=-1)
+    Ur = 0.5 * (Z0r + Zmr)
+    Ui = 0.5 * (Z0i - Zmi)
+    Vr = 0.5 * (Z0i + Zmi)
+    Vi = 0.5 * (Zmr - Z0r)
+    yr = jnp.stack([Ur, Vr], axis=-2).reshape(lead + (h + 1,))
+    yi = jnp.stack([Ui, Vi], axis=-2).reshape(lead + (h + 1,))
+    return yr, yi
+
+
+def _sirfft_batchpair(yr, yi, n: int):
+    """c2r inverse via batch pairing: rebuild Z = U + iV for row pairs,
+    one length-n inverse FFT at batch/2; u = Re, v = Im.  Returns n*x."""
+    lead = yr.shape[:-1]
+    B = _flat_batch(yr.shape)
+    h = n // 2
+    ar = yr.reshape(B // 2, 2, h + 1)
+    ai = yi.reshape(B // 2, 2, h + 1)
+    Ur, Vr = ar[:, 0], ar[:, 1]
+    Ui, Vi = ai[:, 0], ai[:, 1]
+    # bins 0..h: Z = U + iV; bins h+1..n-1: conj(U_{n-k}) + i conj(V_{n-k})
+    Zr_low = Ur - Vi
+    Zi_low = Ui + Vr
+    Umr = Ur[..., 1: n - h][..., ::-1]
+    Umi = Ui[..., 1: n - h][..., ::-1]
+    Vmr = Vr[..., 1: n - h][..., ::-1]
+    Vmi = Vi[..., 1: n - h][..., ::-1]
+    Zr_hi = Umr + Vmi
+    Zi_hi = Vmr - Umi
+    Zr = jnp.concatenate([Zr_low, Zr_hi], axis=-1)
+    Zi = jnp.concatenate([Zi_low, Zi_hi], axis=-1)
+    zr, zi = sfft(Zr, Zi, n, inverse=True)
+    out = jnp.stack([zr, zi], axis=-2).reshape(lead + (n,))
+    return out
+
+
+def _use_pair(n: int, B: int) -> bool:
+    if _RFFT_ENGINE == "pair":
+        return B % 2 == 0 and B >= 2 and n > 1
+    if _RFFT_ENGINE != "auto":
+        return False
+    # auto: odd n (the half-length trick does not apply there, so the
+    # pair path halves the FFT work outright)
+    return n % 2 == 1 and n > 1 and B % 2 == 0 and B >= 2
+
+
 def srfft(x, n: int):
     """Unscaled r2c DFT of real x -> (re, im) pair of n//2+1 bins.
 
@@ -388,6 +471,8 @@ def srfft(x, n: int):
     _warn_f64_tpu(x.dtype)
     if n == 1:
         return x, jnp.zeros_like(x)
+    if _use_pair(n, _flat_batch(x.shape)):
+        return _srfft_batchpair(x, n)
     if n % 2 == 0:
         zr = x[..., 0::2]
         zi = x[..., 1::2]
@@ -423,6 +508,8 @@ def sirfft(yr, yi, n: int):
     """Unscaled c2r inverse of a packed pair: returns n * x (real)."""
     if n == 1:
         return yr[..., 0:1]
+    if _use_pair(n, _flat_batch(yr.shape)):
+        return _sirfft_batchpair(yr, yi, n)
     if n % 2 == 0:
         h = n // 2
         ya = yr[..., :h]
