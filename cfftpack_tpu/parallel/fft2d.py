@@ -62,21 +62,26 @@ def _fft2_sharded(x, mesh, axis_name, inverse, norm, batch_axis_name=None):
     return y
 
 
+# jit-wrapped entries (see fourstep.py: eager shard_map is 30-60x
+# slower than the compiled program and misses the persistent cache)
+_fft2_sharded_jit = jax.jit(_fft2_sharded, static_argnums=(1, 2, 3, 4, 5))
+
+
 def fft2_sharded(x, mesh: Mesh, axis_name: str = "data",
                  norm: str = DEFAULT_NORM,
                  batch_axis_name: str | None = None):
     """2-D FFT over the trailing two axes, rows sharded over the mesh.
 
     Output is sharded the same way as the input (rows over the mesh)."""
-    return _fft2_sharded(x, mesh, axis_name, False, check_norm(norm),
-                         batch_axis_name)
+    return _fft2_sharded_jit(x, mesh, axis_name, False, check_norm(norm),
+                             batch_axis_name)
 
 
 def ifft2_sharded(y, mesh: Mesh, axis_name: str = "data",
                   norm: str = DEFAULT_NORM,
                   batch_axis_name: str | None = None):
-    return _fft2_sharded(y, mesh, axis_name, True, check_norm(norm),
-                         batch_axis_name)
+    return _fft2_sharded_jit(y, mesh, axis_name, True, check_norm(norm),
+                             batch_axis_name)
 
 
 # ------------------------------------------------- split (re, im) API
@@ -130,16 +135,20 @@ def _fft2_sharded_pair(xr, xi, mesh, axis_name, inverse, norm,
     return yr, yi
 
 
+_fft2_sharded_pair_jit = jax.jit(_fft2_sharded_pair,
+                                 static_argnums=(2, 3, 4, 5, 6))
+
+
 def fft2_sharded_split(xr, xi, mesh: Mesh, axis_name: str = "data",
                        norm: str = DEFAULT_NORM,
                        batch_axis_name: str | None = None):
     """Sharded 2-D FFT on an (re, im) pair — the on-TPU-pod path."""
-    return _fft2_sharded_pair(xr, xi, mesh, axis_name, False,
-                              check_norm(norm), batch_axis_name)
+    return _fft2_sharded_pair_jit(xr, xi, mesh, axis_name, False,
+                                  check_norm(norm), batch_axis_name)
 
 
 def ifft2_sharded_split(yr, yi, mesh: Mesh, axis_name: str = "data",
                         norm: str = DEFAULT_NORM,
                         batch_axis_name: str | None = None):
-    return _fft2_sharded_pair(yr, yi, mesh, axis_name, True,
-                              check_norm(norm), batch_axis_name)
+    return _fft2_sharded_pair_jit(yr, yi, mesh, axis_name, True,
+                                  check_norm(norm), batch_axis_name)

@@ -78,21 +78,10 @@ def _fourstep_pair(xr, xi, mesh, axis_name, inverse, norm, reorder,
     return yr2, yi2
 
 
-def fft_fourstep_split(xr, xi, mesh: Mesh, axis_name: str = "data",
-                       norm: str = DEFAULT_NORM, reorder: bool = True,
-                       batch_axis_name: str | None = None):
-    """Forward four-step FFT on an (re, im) pair, length sharded."""
-    return _fourstep_pair(xr, xi, mesh, axis_name, False, check_norm(norm),
-                          reorder, batch_axis_name)
-
-
-def ifft_fourstep_split(yr, yi, mesh: Mesh, axis_name: str = "data",
-                        norm: str = DEFAULT_NORM, reordered: bool = True,
-                        batch_axis_name: str | None = None):
-    """Inverse of :func:`fft_fourstep_split` (mirrored schedule)."""
+def _ifourstep_pair(yr, yi, mesh, axis_name, norm, reordered,
+                    batch_axis_name):
     yr = jnp.asarray(yr)
     yi = jnp.asarray(yi)
-    norm = check_norm(norm)
     if reordered:
         n = yr.shape[-1]
         d = mesh.shape[axis_name]
@@ -122,3 +111,28 @@ def ifft_fourstep_split(yr, yi, mesh: Mesh, axis_name: str = "data",
     xr = jnp.swapaxes(xr2, -1, -2).reshape(lead + (n,))
     xi = jnp.swapaxes(xi2, -1, -2).reshape(lead + (n,))
     return xr, xi
+
+
+# jit-wrapped entries (see fourstep.py: eager shard_map is 30-60x
+# slower than the compiled program and misses the persistent cache)
+_fourstep_pair_jit = jax.jit(_fourstep_pair,
+                             static_argnums=(2, 3, 4, 5, 6, 7))
+_ifourstep_pair_jit = jax.jit(_ifourstep_pair,
+                              static_argnums=(2, 3, 4, 5, 6))
+
+
+def fft_fourstep_split(xr, xi, mesh: Mesh, axis_name: str = "data",
+                       norm: str = DEFAULT_NORM, reorder: bool = True,
+                       batch_axis_name: str | None = None):
+    """Forward four-step FFT on an (re, im) pair, length sharded."""
+    return _fourstep_pair_jit(xr, xi, mesh, axis_name, False,
+                              check_norm(norm), bool(reorder),
+                              batch_axis_name)
+
+
+def ifft_fourstep_split(yr, yi, mesh: Mesh, axis_name: str = "data",
+                        norm: str = DEFAULT_NORM, reordered: bool = True,
+                        batch_axis_name: str | None = None):
+    """Inverse of :func:`fft_fourstep_split` (mirrored schedule)."""
+    return _ifourstep_pair_jit(yr, yi, mesh, axis_name, check_norm(norm),
+                               bool(reordered), batch_axis_name)

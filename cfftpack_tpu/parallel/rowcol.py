@@ -10,7 +10,7 @@ This is the distributed analog of the reference's batched-cosqm 2-D DCT
 """
 from __future__ import annotations
 
-from functools import partial
+from functools import lru_cache, partial
 
 import jax
 import jax.numpy as jnp
@@ -36,18 +36,8 @@ def _core(blk, row_fn, col_fn, axis_name):
     return a
 
 
-def rowcol2d_sharded(x, mesh: Mesh, row_fn, col_fn=None,
-                     axis_name: str = "data",
-                     batch_axis_name: str | None = None):
-    """Apply last-axis transforms to both trailing axes of ``x`` with
-    the rows sharded over ``mesh[axis_name]``.
-
-    ``row_fn``/``col_fn`` take and return an array, transforming the
-    LAST axis (col_fn defaults to row_fn).  Output sharding == input
-    sharding (rows over the mesh).
-    """
+def _rowcol_impl(x, mesh, row_fn, col_fn, axis_name, batch_axis_name):
     x = jnp.asarray(x)
-    col_fn = row_fn if col_fn is None else col_fn
     n0, n1 = x.shape[-2], x.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d or n1 % d:
@@ -65,13 +55,40 @@ def rowcol2d_sharded(x, mesh: Mesh, row_fn, col_fn=None,
     return fs(x)
 
 
+# jit-wrapped entry (see fourstep.py: eager shard_map is 30-60x slower
+# than the compiled program and misses the persistent cache).  row_fn /
+# col_fn are static: pass stable callables (the DCT/DST wrappers below
+# memoize theirs) or each new function object retraces.
+_rowcol_jit = jax.jit(_rowcol_impl, static_argnums=(1, 2, 3, 4, 5))
+
+
+def rowcol2d_sharded(x, mesh: Mesh, row_fn, col_fn=None,
+                     axis_name: str = "data",
+                     batch_axis_name: str | None = None):
+    """Apply last-axis transforms to both trailing axes of ``x`` with
+    the rows sharded over ``mesh[axis_name]``.
+
+    ``row_fn``/``col_fn`` take and return an array, transforming the
+    LAST axis (col_fn defaults to row_fn).  Output sharding == input
+    sharding (rows over the mesh).
+    """
+    col_fn = row_fn if col_fn is None else col_fn
+    return _rowcol_jit(x, mesh, row_fn, col_fn, axis_name,
+                       batch_axis_name)
+
+
+@lru_cache(maxsize=None)
+def _trig_fn(is_dst: bool, t: int, nm: str, inverse: bool):
+    impl = _dst_impl if is_dst else _dct_impl
+    return partial(impl, t=t, axis=-1, norm=nm, inverse=inverse)
+
+
 def dctn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
                   axis_name: str = "data",
                   batch_axis_name: str | None = None):
     """Sharded 2-D DCT over the trailing axes (type 3 == the reference's
     dct_2d_forward convention)."""
-    t, nm = int(type), check_norm(norm)
-    fn = lambda a: _dct_impl(a, t, -1, nm, False)     # noqa: E731
+    fn = _trig_fn(False, int(type), check_norm(norm), False)
     return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
                             batch_axis_name=batch_axis_name)
 
@@ -79,8 +96,7 @@ def dctn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
 def idctn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
                    axis_name: str = "data",
                    batch_axis_name: str | None = None):
-    t, nm = int(type), check_norm(norm)
-    fn = lambda a: _dct_impl(a, t, -1, nm, True)      # noqa: E731
+    fn = _trig_fn(False, int(type), check_norm(norm), True)
     return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
                             batch_axis_name=batch_axis_name)
 
@@ -88,8 +104,7 @@ def idctn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
 def dstn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
                   axis_name: str = "data",
                   batch_axis_name: str | None = None):
-    t, nm = int(type), check_norm(norm)
-    fn = lambda a: _dst_impl(a, t, -1, nm, False)     # noqa: E731
+    fn = _trig_fn(True, int(type), check_norm(norm), False)
     return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
                             batch_axis_name=batch_axis_name)
 
@@ -97,7 +112,6 @@ def dstn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
 def idstn2_sharded(x, mesh: Mesh, type: int = 3, norm: str = DEFAULT_NORM,
                    axis_name: str = "data",
                    batch_axis_name: str | None = None):
-    t, nm = int(type), check_norm(norm)
-    fn = lambda a: _dst_impl(a, t, -1, nm, True)      # noqa: E731
+    fn = _trig_fn(True, int(type), check_norm(norm), True)
     return rowcol2d_sharded(x, mesh, fn, axis_name=axis_name,
                             batch_axis_name=batch_axis_name)
