@@ -132,7 +132,7 @@ def _dct2_core(x, n: int):
 
 
 def _dct3_tables(n: int):
-    """n % 4 == 0.  Coefficients of the gathered quadruple
+    """Even n.  Coefficients of the gathered quadruple
     (x_k, x_{n-k}, x_{h-k}, x_{h+k}) for (Zr, Zi) at bins k = 0..h-1.
 
     Composition of the DCT-III phase stage V_k = ph_k (x_k - i x_{n-k})
@@ -158,18 +158,21 @@ def _dct3_tables(n: int):
 def _dct3_core(x, n: int):
     """y[k] = x[0]/2 + sum_{j>=1} x[j] cos(pi*j*(2k+1)/(2n)).
 
-    n % 4 == 0 runs the fused path: four slice/flip gathers of x, one
+    EVERY even n runs the fused path: four slice/flip gathers of x, one
     table FMA building the half-length spectrum directly, one inverse
     complex FFT, and a 4-way interleave writing all n outputs (the
-    composed Makhoul + re/im un-permutations).  Other n keep the
-    phase + c2r formulation.
+    composed Makhoul + re/im un-permutations).  For n % 4 == 2 the four
+    interleave streams are ragged (q+1, q+1, q, q); equal-length m =
+    (n+2)//4 streams stay in range, so one stack emits n+2 entries and
+    a tail slice drops the 2 extras — still a single pass.  Odd n keeps
+    the phase + c2r formulation.
     """
     from . import core
     if n == 1:
         return 0.5 * x
     h = n // 2
-    if n % 4 == 0:
-        q = n // 4
+    if n % 2 == 0:
+        m = (n + 2) // 4 if n % 4 else n // 4
         z0 = jnp.zeros_like(x[..., :1])
         xa = x[..., :h]                                   # x_k
         xb = jnp.concatenate([z0, x[..., h + 1:][..., ::-1]], axis=-1)
@@ -184,9 +187,10 @@ def _dct3_core(x, n: int):
         zr = 0.5 * zr
         zi = 0.5 * zi
         # y[4u..4u+3] = [zr_u, zi_{h-1-u}, zi_u, zr_{h-1-u}]
-        y4 = jnp.stack([zr[..., :q], zi[..., q:][..., ::-1],
-                        zi[..., :q], zr[..., q:][..., ::-1]], axis=-1)
-        return y4.reshape(*x.shape[:-1], n)
+        y4 = jnp.stack([zr[..., :m], zi[..., h - m:][..., ::-1],
+                        zi[..., :m], zr[..., h - m:][..., ::-1]], axis=-1)
+        y4 = y4.reshape(*x.shape[:-1], 4 * m)
+        return y4[..., :n] if 4 * m != n else y4
     xr = x[..., 1:][..., ::-1]  # x[n-k] for k=1..n-1
     pad = jnp.zeros_like(x[..., :1])
     xnk = jnp.concatenate([pad, xr], axis=-1)  # x[n-k], x[n]==0
