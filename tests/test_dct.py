@@ -129,3 +129,17 @@ def test_grad_flows():
     g = jax.grad(loss)(x)
     # ortho DCT is an isometry: grad of ||Dx||^2 is 2x
     np.testing.assert_allclose(np.asarray(g), 2 * x, atol=1e-10)
+
+
+@pytest.mark.parametrize("n", [2, 6, 10, 514, 1022])
+def test_dct3_fused_mod2_sizes(n):
+    """n % 4 == 2 runs the generalized fused DCT-III path (equal-length
+    interleave streams + tail slice); pin against scipy ortho and the
+    fftpack round-trip."""
+    import scipy.fft as sf
+    x = rng_real((3, n), seed=n)
+    got = np.asarray(dct(x, 3, norm="ortho"))
+    np.testing.assert_allclose(got, sf.dct(x, 3, norm="ortho", axis=-1),
+                               atol=1e-12 * max(1, n ** 0.5))
+    rt = np.asarray(idct(dct(x, 3), 3))
+    np.testing.assert_allclose(rt, x, atol=1e-12 * max(1, n ** 0.5))

@@ -139,3 +139,25 @@ def test_rfilter_split_axis_and_validation():
     np.testing.assert_allclose(got, want, atol=1e-12)
     with pytest.raises(ValueError):
         ct.rfilter_split(x, yr[:-1], yi[:-1], axis=0)
+
+
+@pytest.mark.parametrize("n", [9, 101, 625])
+def test_rfft_batchpair_engine(n):
+    """Odd n with an even flat batch routes through the batch-pair
+    engine (core._srfft_batchpair: one half-batch full-length FFT,
+    measured 1.1-1.5x on v5e); parity vs the oracle, the packed
+    exact-zero contract, and the round-trip must all hold, and the odd
+    flat batch fallback must agree with the pair path."""
+    from cfftpack_tpu.ops import core
+    xe = rng_real((6, n), seed=n)       # even batch -> pair engine
+    got = np.asarray(ct.rfft(xe))
+    np.testing.assert_allclose(got, naive_rfft(xe), atol=F64_TOL * 8)
+    assert (got[..., 0].imag == 0.0).all()
+    back = np.asarray(ct.irfft(ct.rfft(xe), n))
+    np.testing.assert_allclose(back, xe, atol=F64_TOL * max(1, n ** 0.5))
+    xo = xe[:5]                         # odd batch -> legacy fallback
+    np.testing.assert_allclose(np.asarray(ct.rfft(xo)), got[:5],
+                               atol=F64_TOL * 8)
+    # the two engines are selected as documented
+    assert core._use_pair(n, 6) and not core._use_pair(n, 5)
+    assert not core._use_pair(n - 1, 6)   # even n keeps half-length
