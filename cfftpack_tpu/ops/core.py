@@ -388,6 +388,40 @@ def _t(tab, dtype):
 # kernels' r2c packing rfftf1_ (fftpack.c:13517-13610).
 _RFFT_ENGINE = "auto"
 
+# Lane-interleave (riffle) idiom for y[..., s*t+j] = parts[j][..., t]
+# — the final un-permutation of the real/DCT cores.  Two measured
+# formulations: "stack" = jnp.stack(..., -1)+reshape; "select" =
+# broadcast each stream across the pair dim and lane-select.  In
+# ISOLATION select reaches stream bandwidth at >= 2^15 lanes where the
+# stack relayout costs ~2x a pass (benchmarks/riffle_bench.py) — but
+# END-TO-END inside the full transforms (benchmarks/riffle_e2e_bench.py)
+# stack wins or ties at every size on v5e except a single 9% point
+# (dct4 @ n=16384) and select LOSES 1.2-1.3x at 65536, so auto = stack.
+# The flag and threshold stay for A/B re-measurement on v5p/v6.
+_RIFFLE_IDIOM = "auto"
+_RIFFLE_SELECT_MIN = 1 << 62
+
+
+def _interleave(*parts):
+    """Riffle s equal-length streams across lanes: out[..., s*t+j] =
+    parts[j][..., t]."""
+    s = len(parts)
+    m = parts[0].shape[-1]
+    n = s * m
+    lead = parts[0].shape[:-1]
+    idiom = _RIFFLE_IDIOM
+    if idiom == "auto":
+        idiom = "select" if n >= _RIFFLE_SELECT_MIN else "stack"
+    if idiom == "select":
+        lane = jnp.asarray(np.arange(n) % s, jnp.int32)
+        reps = [jnp.broadcast_to(p[..., None], (*p.shape, s)
+                                 ).reshape(*lead, n) for p in parts]
+        out = reps[-1]
+        for j in range(s - 2, -1, -1):
+            out = jnp.where(lane == j, reps[j], out)
+        return out
+    return jnp.stack(parts, axis=-1).reshape(*lead, n)
+
 
 def _flat_batch(shape) -> int:
     b = 1
@@ -523,8 +557,7 @@ def sirfft(yr, yi, n: int):
         Zr = ya * a1 + yb * a2 + ymr * a3 + ymi * a4
         Zi = ya * b1 + yb * b2 + ymr * b3 + ymi * b4
         zr, zi = sfft(Zr, Zi, h, inverse=True)
-        out = jnp.stack([zr, zi], axis=-1)
-        return out.reshape(*zr.shape[:-1], n)
+        return _interleave(zr, zi)
     tr = yr[..., 1:][..., ::-1]
     ti = -yi[..., 1:][..., ::-1]
     fr = jnp.concatenate([yr, tr], axis=-1)

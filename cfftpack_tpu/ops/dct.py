@@ -187,9 +187,8 @@ def _dct3_core(x, n: int):
         zr = 0.5 * zr
         zi = 0.5 * zi
         # y[4u..4u+3] = [zr_u, zi_{h-1-u}, zi_u, zr_{h-1-u}]
-        y4 = jnp.stack([zr[..., :m], zi[..., h - m:][..., ::-1],
-                        zi[..., :m], zr[..., h - m:][..., ::-1]], axis=-1)
-        y4 = y4.reshape(*x.shape[:-1], 4 * m)
+        y4 = core._interleave(zr[..., :m], zi[..., h - m:][..., ::-1],
+                              zi[..., :m], zr[..., h - m:][..., ::-1])
         return y4[..., :n] if 4 * m != n else y4
     xr = x[..., 1:][..., ::-1]  # x[n-k] for k=1..n-1
     pad = jnp.zeros_like(x[..., :1])
@@ -204,13 +203,10 @@ def _dct3_core(x, n: int):
     Vi = (phi * x - phr * xnk)[..., : h + 1]
     wr = core.sirfft(Vr, Vi, n)                 # unscaled c2r inverse
     v = 0.5 * wr
-    # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j].  Even n: interleave
-    # via stack+reshape (TPU lane scatters are slow); odd n: scatter.
+    # un-permute: y[2j] = v[j], y[2j+1] = v[n-1-j] (n odd here — every
+    # even n takes the fused path above — so the riffle is ragged:
+    # half evens, half-1 odds; lane scatter)
     half = (n + 1) // 2
-    if n % 2 == 0:
-        a = v[..., :half]
-        b = v[..., half:][..., ::-1]
-        return jnp.stack([a, b], axis=-1).reshape(*v.shape[:-1], n)
     out = jnp.zeros_like(v)
     out = out.at[..., 0::2].set(v[..., :half])
     out = out.at[..., 1::2].set(v[..., half:][..., ::-1])
@@ -280,10 +276,9 @@ def _dct4_core(x, n: int):
         posti = jnp.asarray(post.imag, dtype=x.dtype)
         zr = Wr * postr - Wi * posti
         zi = Wr * posti + Wi * postr
-        # interleave via stack+reshape (avoids TPU lane scatters):
-        # y[2t] = Re z[t], y[2t+1] = -Im z[h-1-t]
-        return jnp.stack([zr, -zi[..., ::-1]],
-                         axis=-1).reshape(*x.shape[:-1], n)
+        # y[2t] = Re z[t], y[2t+1] = -Im z[h-1-t] (riffle idiom per
+        # core._interleave; lane scatters measured slower, b628ab7)
+        return core._interleave(zr, -zi[..., ::-1])
     m = 2 * n
     # U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)}
     ur, _ = core.s_shifted_dft_real(x, n, m, 0.5, 0.5, n)

@@ -287,7 +287,7 @@ def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
         Zpr = jnp.concatenate([Z0r, Zcr_], axis=-1)
         Zpi = jnp.concatenate([Z0i, Zci_], axis=-1)
         wr_, wi_ = core.sfft(Zpr, Zpi, h, inverse=True)
-        out = jnp.stack([wr_, wi_], axis=-1).reshape(*wr_.shape[:-1], n)
+        out = core._interleave(wr_, wi_)
     # the unscaled pipeline is sirfft(srfft(x)*F); the public
     # composition applies fwd_scale then inv_scale on top
     if s != 1.0:
