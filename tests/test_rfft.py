@@ -161,3 +161,37 @@ def test_rfft_batchpair_engine(n):
     # the two engines are selected as documented
     assert core._use_pair(n, 6) and not core._use_pair(n, 5)
     assert not core._use_pair(n - 1, 6)   # even n keeps half-length
+
+
+@pytest.mark.parametrize("idiom", ["stack", "select"])
+def test_interleave_idioms_agree(idiom):
+    """Both riffle idioms behind core._interleave (BASELINE.md "riffle
+    idiom A/B") must produce identical transforms — the select branch
+    is kept for v5p/v6 re-measurement and must not rot."""
+    from cfftpack_tpu.ops import core
+    x = rng_real((3, 64), seed=7)
+    old = core._RIFFLE_IDIOM
+    try:
+        core._RIFFLE_IDIOM = idiom
+        # fresh traces: call through the cores directly (jit caches on
+        # the public API would otherwise hide the flag)
+        yr, yi = core.srfft(jnp_array(x), 64)
+        back = np.asarray(core.sirfft(yr, yi, 64)) / 64.0
+        np.testing.assert_allclose(back, x, atol=F64_TOL * 8)
+        got2 = np.asarray(core._interleave(jnp_array(x[..., :32]),
+                                           jnp_array(x[..., 32:])))
+        want2 = np.stack([x[..., :32], x[..., 32:]], axis=-1
+                         ).reshape(3, 64)
+        np.testing.assert_allclose(got2, want2, rtol=0)
+        got4 = np.asarray(core._interleave(
+            *(jnp_array(x[..., 16 * i:16 * (i + 1)]) for i in range(4))))
+        want4 = np.stack([x[..., 16 * i:16 * (i + 1)] for i in range(4)],
+                         axis=-1).reshape(3, 64)
+        np.testing.assert_allclose(got4, want4, rtol=0)
+    finally:
+        core._RIFFLE_IDIOM = old
+
+
+def jnp_array(a):
+    import jax.numpy as jnp
+    return jnp.asarray(a)
