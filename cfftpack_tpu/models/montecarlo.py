@@ -17,13 +17,16 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+from functools import partial
+
 from ..ops.dct import dct
 from ..ops.cfft import fft_split, ifft_split
 from ..ops.shift import fftshift, ifftshift
-from ..utils.qmc import halton, normal_icdf
+from ..utils.qmc import halton, normal_icdf, _halton_device
 from .chfun import vg_cf, cf_moment_sigma
 
-__all__ = ["vg_mc_price", "asian_option_qmc", "brownian_paths_qmc"]
+__all__ = ["vg_mc_price", "asian_option_qmc", "asian_option_qmc_device",
+           "brownian_paths_qmc"]
 
 
 def vg_distribution_grid(sigma, theta, kappa, r, t, n: int = 2048):
@@ -84,6 +87,53 @@ def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
     pts = halton(np.arange(start_index, start_index + n_paths), steps)
     z = normal_icdf(jnp.asarray(pts))
     return dct(z, type=4, norm="ortho")
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 7))
+def _asian_qmc_program(start, samples: int, steps: int, nd: int,
+                       is_call: bool, dtype_name: str, params,
+                       exact_halton: bool = False):
+    """ONE device program for the whole QMC asian pipeline: Halton
+    digits -> inverse normal CDF -> orthonormal DCT-IV path build ->
+    cumulative log-return walk -> discounted average payoff.  The
+    reference runs this per path with scalar loops
+    (montecarlo.c:63-103); here every stage is a (samples, steps)
+    batch op, so path count rides the 128-lane axis and the DCT-IV is
+    one batched transform."""
+    S, K, sigma, t, r = params
+    dtype = jnp.dtype(dtype_name)
+    pts = _halton_device(start, samples, steps, nd, dtype,
+                         exact=exact_halton)
+    z = dct(normal_icdf(pts), type=4, norm="ortho")
+    dt = t / steps
+    var = sigma * jnp.sqrt(dt)
+    drift = (r - 0.5 * sigma * sigma) * dt
+    s_path = S * jnp.exp(jnp.cumsum(z * var + drift, axis=-1))
+    pay = (jnp.maximum(s_path - K, 0.0) if is_call
+           else jnp.maximum(K - s_path, 0.0))
+    return jnp.mean(pay) * jnp.exp(-r * t)
+
+
+def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
+                            steps: int = 128, samples: int = 2000,
+                            is_call=False, run_index: int = 0,
+                            dtype=jnp.float32):
+    """Arithmetic-average Asian option with the ENTIRE QMC pipeline on
+    device (vs ``asian_option_qmc``'s host-numpy Halton setup) — the
+    serving-path variant: no host->device transfer scales with the
+    sample count, only five scalars cross."""
+    if steps % 2:
+        raise ValueError("steps must be even (DCT-IV path construction)")
+    start = samples * run_index + 1
+    last = start + samples - 1
+    nd = max(1, int(np.floor(np.log2(max(last, 1)))) + 1)
+    nd = (nd + 7) // 8 * 8
+    dtype = jnp.dtype(dtype)
+    params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, sigma, t, r))
+    return float(_asian_qmc_program(jnp.int32(start), int(samples),
+                                    int(steps), nd, bool(is_call),
+                                    dtype.name, params,
+                                    last >= 1 << 24))
 
 
 def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,

@@ -10,10 +10,12 @@ accelerator RNG.
 """
 from __future__ import annotations
 
+from functools import partial
+
 import numpy as np
 import jax.numpy as jnp
 
-__all__ = ["normal_cdf", "normal_icdf", "halton", "primes",
+__all__ = ["normal_cdf", "normal_icdf", "halton", "halton_batch", "primes",
            "black_scholes_option"]
 
 
@@ -112,6 +114,104 @@ def halton(index, dimensions: int) -> np.ndarray:
     if np.isscalar(index) or np.ndim(index) == 0:
         return out[0]
     return out
+
+
+def _halton_tables(dimensions: int, nd: int):
+    """Host (nd, dimensions) tables: base powers b^j (clamped once they
+    exceed any representable index — those digits are always 0 and get
+    weight 0) and radical-inverse weights b^-(j+1)."""
+    b = primes(dimensions).astype(np.int64)[None, :]
+    j = np.arange(nd, dtype=np.int64)[:, None]
+    with np.errstate(over="ignore"):
+        bp = b.astype(np.float64) ** j
+    w = 1.0 / (bp * b)
+    dead = bp > 2 ** 30
+    bpi = np.where(dead, 2 ** 30, bp).astype(np.int32)
+    w = np.where(dead, 0.0, w)
+    return bpi, b.astype(np.int32), w
+
+
+def _halton_device(start, count: int, dimensions: int, nd: int, dtype,
+                   exact: bool = False):
+    """Traceable radical-inverse block; see ``halton_batch``.
+
+    Digit j of index i in base b is (i // b^j) % b — every (path,
+    dimension, digit) triple is independent, so the whole block is ONE
+    broadcast elementwise op reduced over the digit axis (the
+    reference extracts digits with a sequential per-point while loop,
+    util.c:147-168).  Two digit-extraction idioms:
+
+    * float path (default): q_j = floor(i * (1/b^j)) in f32 with a
+      one-step floor fixup, digit_j = q_j - b*q_{j+1}.  All quantities
+      are integers < 2^24 so every f32 product/difference is exact and
+      the pre-fixup quotient is off by at most 1 (|i*r - i/b^j| <= 1
+      for i < 2^24).  Integer divides lower to long multi-op VPU
+      sequences on TPU; this formulation is pure f32 mul/floor/select.
+    * exact path (``exact=True``, and the one used for f64): int32
+      divide/mod — any int32 index, no 2^24 cap.
+    """
+    dtype = jnp.dtype(dtype)
+    bpi, b, w = _halton_tables(dimensions, nd)
+    idx = start + jnp.arange(count, dtype=jnp.int32)
+    if exact or dtype == jnp.float64:
+        digits = (idx[:, None, None] // jnp.asarray(bpi)) % jnp.asarray(b)
+        return jnp.sum(digits.astype(dtype) * jnp.asarray(w, dtype=dtype),
+                       axis=1)
+    # ---- f32 reciprocal path: power tables at levels j = 0..nd
+    b64 = primes(dimensions).astype(np.float64)[None, :]
+    bp64 = b64 ** np.arange(nd + 1, dtype=np.float64)[:, None]
+    r = jnp.asarray((1.0 / bp64).astype(np.float32))          # (nd+1, d)
+    # clamp for the fixup compare only: rows with b^j > index range
+    # always yield q=0, rem=i < 2^24 < clamp
+    bpf = jnp.asarray(np.minimum(bp64, 2.0 ** 30).astype(np.float32))
+    bf = jnp.asarray(b.astype(np.float32))                    # (1, d)
+    wf = jnp.asarray(w.astype(np.float32))                    # (nd, d)
+    fi = idx.astype(jnp.float32)[:, None, None]               # (B, 1, 1)
+    q = jnp.floor(fi * r)                                     # (B, nd+1, d)
+    rem = fi - q * bpf
+    q = q + jnp.where(rem >= bpf, 1.0, 0.0) - jnp.where(rem < 0, 1.0, 0.0)
+    digits = q[:, :-1, :] - bf[None] * q[:, 1:, :]
+    return jnp.sum(digits * wf, axis=1).astype(dtype)
+
+
+_halton_jit = None  # created on first use (keeps jax import lazy-ish)
+
+
+def _get_halton_jit():
+    global _halton_jit
+    if _halton_jit is None:
+        import jax
+        _halton_jit = jax.jit(_halton_device, static_argnums=(1, 2, 3, 4, 5))
+    return _halton_jit
+
+
+def halton_batch(start_index: int, count: int, dimensions: int,
+                 dtype=jnp.float32):
+    """Device-side Halton block: points ``start_index .. start_index+
+    count-1`` as a ``(count, dimensions)`` array, entirely on device.
+
+    The radical inverse per prime base (util.c:147-168) runs as one
+    broadcast-reduce over a (count, digits, dimensions) grid — every
+    (path, digit, dimension) triple is independent (see
+    ``_halton_device`` for the two digit-extraction idioms and their
+    measured costs).  The digit count ``nd`` is the base-2 digit count
+    of the largest index (larger bases exhaust their digits earlier
+    and then contribute zeros); it is rounded up to the next multiple
+    of 8 so consecutive blocks of a growing sweep reuse one
+    compilation.
+    Setup (`halton`) stays host-side numpy; this one is for jitted
+    in-pipeline generation at Monte-Carlo scale — compose freely under
+    an outer jit via ``_halton_device``.
+    """
+    if count <= 0:
+        return jnp.zeros((0, dimensions), dtype=dtype)
+    last = int(start_index) + int(count) - 1
+    nd = max(1, int(np.floor(np.log2(max(last, 1)))) + 1)
+    nd = (nd + 7) // 8 * 8
+    exact = last >= 1 << 24   # f32 reciprocal path is exact below 2^24
+    return _get_halton_jit()(jnp.int32(start_index), int(count),
+                             int(dimensions), nd, jnp.dtype(dtype).name,
+                             exact)
 
 
 def black_scholes_option(S, K, sigma, t, r, is_call=True):

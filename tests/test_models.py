@@ -6,6 +6,7 @@ import pytest
 
 from cfftpack_tpu.models import (conv_bsvg_option, conv_option_price,
                                  vg_mc_price, asian_option_qmc,
+                                 asian_option_qmc_device,
                                  brownian_paths_qmc, bs_cf, vg_cf,
                                  cf_moment_sigma, ShortRateMesh,
                                  callable_bond_demo)
@@ -90,6 +91,27 @@ def test_primes_and_halton():
     h = halton(np.array([1, 2, 3]), 2)
     np.testing.assert_allclose(h[:, 0], [0.5, 0.25, 0.75])
     np.testing.assert_allclose(h[:, 1], [1 / 3, 2 / 3, 1 / 9])
+
+
+def test_halton_batch_matches_host():
+    """Device radical inverse (digit-parallel broadcast-reduce) == host
+    numpy sequence, including across a block boundary and high
+    indices."""
+    from cfftpack_tpu.utils.qmc import halton_batch
+    got = np.asarray(halton_batch(100001, 64, 32, dtype="float64"))
+    want = halton(np.arange(100001, 100065), 32)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+
+
+def test_asian_qmc_device_matches_host_pipeline():
+    """The single-program device pricer reproduces the host-setup
+    pipeline (and therefore the reference binary's digit-for-digit
+    anchors) in f64; f32 agrees to grid accuracy."""
+    a = asian_option_qmc(samples=500, run_index=1)
+    b = asian_option_qmc_device(samples=500, run_index=1, dtype="float64")
+    c = asian_option_qmc_device(samples=500, run_index=1, dtype="float32")
+    assert abs(a - b) < 1e-12
+    assert abs(a - c) < 2e-3
 
 
 def test_qmc_paths_are_standard_normal_ish():
