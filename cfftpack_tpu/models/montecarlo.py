@@ -25,13 +25,14 @@ from ..ops.shift import fftshift, ifftshift
 from ..utils.qmc import halton, normal_icdf, _halton_device
 from .chfun import vg_cf, cf_moment_sigma
 
-__all__ = ["vg_mc_price", "asian_option_qmc", "asian_option_qmc_device",
-           "brownian_paths_qmc"]
+__all__ = ["vg_mc_price", "vg_mc_price_device", "asian_option_qmc",
+           "asian_option_qmc_device", "brownian_paths_qmc"]
 
 
-def vg_distribution_grid(sigma, theta, kappa, r, t, n: int = 2048):
-    """(outcomes, pdf) for the VG log-return over [0, t] via FFT
-    propagation of a delta distribution (vg_mc.cpp:38-77)."""
+def _vg_grid_setup(sigma, theta, kappa, r, t, n: int):
+    """Host-side (f64) frequency-grid setup shared by the VG MC paths:
+    grid spacing dx from the CF's finite-difference stddev and the
+    conjugated characteristic-function table (vg_mc.cpp:44-54)."""
     N = int(n)
     N2 = N // 2
 
@@ -42,10 +43,18 @@ def vg_distribution_grid(sigma, theta, kappa, r, t, n: int = 2048):
     L = 2 * 10 * vgsigma
     dx = L / N
     du = 2 * np.pi / (dx * N)
+    u = (np.arange(N) - N2) * du
+    return dx, np.conj(phi(u))                # forward-in-time propagation
+
+
+def vg_distribution_grid(sigma, theta, kappa, r, t, n: int = 2048):
+    """(outcomes, pdf) for the VG log-return over [0, t] via FFT
+    propagation of a delta distribution (vg_mc.cpp:38-77)."""
+    N = int(n)
+    N2 = N // 2
+    dx, ph = _vg_grid_setup(sigma, theta, kappa, r, t, N)
     prob = np.zeros(N)
     prob[N2] = 1.0
-    u = (np.arange(N) - N2) * du
-    ph = np.conj(phi(u))                      # forward-in-time propagation
 
     @jax.jit
     def run(p, pr, pi):
@@ -78,6 +87,59 @@ def vg_mc_price(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
     x = outcomes[j]
     payoff = np.maximum(np.exp(x) * S - K, 0.0)
     return float(payoff.mean() * np.exp(-r * t))
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4))
+def _vg_mc_program(seed, n: int, samples: int, is_call: bool,
+                   dtype_name: str, params, phr, phi_, dx):
+    """ONE device program for the whole VG Monte-Carlo pipeline
+    (vg_mc.cpp:56-108): delta spike -> FFT -> x conj(phi) -> inverse
+    FFT -> cumulative distribution -> inverse-CDF sampling of uniform
+    draws -> discounted payoff mean.  The reference walks the 100k
+    draws through std::lower_bound one at a time; here the draws ride
+    the batch axis and the CDF lookup is one vectorized searchsorted
+    (same nearest-grid-point convention, no interpolation)."""
+    S, K, r, t = params
+    dtype = jnp.dtype(dtype_name)
+    N2 = n // 2
+    spike = jnp.zeros((n,), dtype).at[N2].set(1.0)
+    sr, si = fft_split(spike, jnp.zeros_like(spike))
+    sr, si = fftshift(sr), fftshift(si)
+    tr = sr * phr - si * phi_
+    ti = sr * phi_ + si * phr
+    tr, ti = ifftshift(tr), ifftshift(ti)
+    pdf, _ = ifft_split(tr, ti)
+    cdf = jnp.cumsum(pdf)
+    p = jax.random.uniform(jax.random.PRNGKey(seed), (samples,), dtype)
+    # method="sort" (one co-sort of cdf+draws) over the default "scan"
+    # (log2 n sequential gather rounds): 5.2-6.8x on v5e at every draw
+    # count, bit-identical bin choice (benchmarks/vgmc_lookup_bench.py;
+    # int-heavy gather code runs poorly on this backend, cf. the Halton
+    # digit A/B in BASELINE.md)
+    j = jnp.minimum(jnp.searchsorted(cdf, p, method="sort"), n - 1)
+    x = (j.astype(dtype) - N2) * dx
+    s_t = S * jnp.exp(x)
+    pay = (jnp.maximum(s_t - K, 0.0) if is_call
+           else jnp.maximum(K - s_t, 0.0))
+    return jnp.mean(pay) * jnp.exp(-r * t)
+
+
+def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
+                       r=0.05, t=1.0, n: int = 2048, samples: int = 100000,
+                       seed: int = 0, is_call=True, dtype=jnp.float32):
+    """VG call by inverse-CDF Monte Carlo with the ENTIRE pipeline on
+    device (vs ``vg_mc_price``'s host sampling) — distribution build,
+    draw generation, CDF lookup and payoff reduction are one jitted
+    program; only the host-f64 characteristic-function table and one
+    scalar cross the host boundary."""
+    dx, ph = _vg_grid_setup(sigma, theta, kappa, r, t, n)
+    dtype = jnp.dtype(dtype)
+    params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, r, t))
+    return float(_vg_mc_program(jnp.int32(seed), int(n), int(samples),
+                                bool(is_call), dtype.name, params,
+                                jnp.asarray(ph.real, dtype=dtype),
+                                jnp.asarray(ph.imag, dtype=dtype),
+                                jnp.asarray(float(dx), dtype=dtype)))
 
 
 def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):

@@ -139,6 +139,20 @@ def test_vg_mc_price_near_conv_price():
     assert abs(mc - VG_TARGET) < 0.2   # MC error at 200k samples
 
 
+def test_vg_mc_price_device_matches_host_pipeline():
+    """The single-program device pipeline (vg_mc.cpp:56-108 end-to-end
+    in one jit) draws the same uniforms as the host-sampled path, so
+    the two prices differ only by the f32 grid: ~1e-5, far inside the
+    0.2 MC band around the QuantLib anchor."""
+    from cfftpack_tpu.models import vg_mc_price_device
+    dev = vg_mc_price_device(S, K, SIGMA, THETA, KAPPA, R, T,
+                             samples=200000, seed=1)
+    host = vg_mc_price(S, K, SIGMA, THETA, KAPPA, R, T, samples=200000,
+                       seed=1)
+    assert abs(dev - host) < 1e-3
+    assert abs(dev - VG_TARGET) < 0.2
+
+
 def test_cf_moment_sigma():
     # for GBM the stddev over t is sigma*sqrt(t)
     phi = lambda u, dt: bs_cf(u, T, 0.2, 0.0)      # noqa: E731
