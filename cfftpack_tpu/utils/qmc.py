@@ -13,6 +13,7 @@ from __future__ import annotations
 from functools import partial
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 __all__ = ["normal_cdf", "normal_icdf", "halton", "halton_batch", "primes",
@@ -215,11 +216,16 @@ def halton_batch(start_index: int, count: int, dimensions: int,
 
 
 def black_scholes_option(S, K, sigma, t, r, is_call=True):
-    """Black-Scholes closed form (util.c:171-180), vectorized."""
-    S = jnp.asarray(S, dtype=jnp.float64)
-    K = jnp.asarray(K, dtype=jnp.float64)
-    t = jnp.asarray(t, dtype=jnp.float64)   # vectorized over t and r too
-    r = jnp.asarray(r, dtype=jnp.float64)
+    """Black-Scholes closed form (util.c:171-180), vectorized.
+
+    Computed at f64 when x64 is enabled; silently f32 otherwise (the
+    unconditional f64 request warned on every call in f32-only
+    processes, e.g. the multichip dry-run)."""
+    wide = jnp.float64 if jax.config.jax_enable_x64 else jnp.float32
+    S = jnp.asarray(S, dtype=wide)
+    K = jnp.asarray(K, dtype=wide)
+    t = jnp.asarray(t, dtype=wide)   # vectorized over t and r too
+    r = jnp.asarray(r, dtype=wide)
     sqt = jnp.sqrt(t)
     df = jnp.exp(-r * t)
     d1 = (jnp.log(S / K) + t * (r + sigma * sigma * 0.5)) / (sigma * sqt)
