@@ -89,16 +89,17 @@ def vg_mc_price(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
     return float(payoff.mean() * np.exp(-r * t))
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4))
-def _vg_mc_program(seed, n: int, samples: int, is_call: bool,
-                   dtype_name: str, params, phr, phi_, dx):
-    """ONE device program for the whole VG Monte-Carlo pipeline
+def _vg_mc_body(seed, n: int, samples: int, is_call: bool,
+                dtype_name: str, params, phr, phi_, dx):
+    """Body of the single-program VG Monte-Carlo pipeline
     (vg_mc.cpp:56-108): delta spike -> FFT -> x conj(phi) -> inverse
     FFT -> cumulative distribution -> inverse-CDF sampling of uniform
     draws -> discounted payoff mean.  The reference walks the 100k
     draws through std::lower_bound one at a time; here the draws ride
     the batch axis and the CDF lookup is one vectorized searchsorted
-    (same nearest-grid-point convention, no interpolation)."""
+    (same nearest-grid-point convention, no interpolation).  Traceable
+    under jit directly (``_vg_mc_program``) or per-shard inside
+    shard_map (``vg_mc_price_device(mesh=...)``)."""
     S, K, r, t = params
     dtype = jnp.dtype(dtype_name)
     N2 = n // 2
@@ -124,22 +125,70 @@ def _vg_mc_program(seed, n: int, samples: int, is_call: bool,
     return jnp.mean(pay) * jnp.exp(-r * t)
 
 
+_vg_mc_program = partial(jax.jit, static_argnums=(1, 2, 3, 4))(_vg_mc_body)
+
+
+def _sharded_mc_mean(body, mesh, axis_name: str, seed, tables):
+    """Data-parallel MC over ``mesh[axis_name]``: each shard runs
+    ``body(shard_seed, *tables)`` -> scalar mean over its (equal-size)
+    draw shard, pmean combines.  Setup tables are replicated (they are
+    tiny next to the draw batch).  jit-wrapped: eager shard_map
+    dispatches op-by-op and misses the persistent cache (measured
+    17-39s/call on the CPU mesh — see parallel/*.py)."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    nd = mesh.shape[axis_name]
+
+    @jax.jit
+    def run(seed, *tabs):
+        def f(seed, *tabs):
+            idx = jax.lax.axis_index(axis_name)
+            local = body(seed, idx, *tabs)
+            return jax.lax.pmean(local, axis_name)
+        spec = (P(),) * (1 + len(tabs))
+        return shard_map(f, mesh=mesh, in_specs=spec, out_specs=P())(
+            seed, *tabs)
+
+    return run(seed, *tables)
+
+
 def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
                        r=0.05, t=1.0, n: int = 2048, samples: int = 100000,
-                       seed: int = 0, is_call=True, dtype=jnp.float32):
+                       seed: int = 0, is_call=True, dtype=jnp.float32,
+                       mesh=None, axis_name: str = "data"):
     """VG call by inverse-CDF Monte Carlo with the ENTIRE pipeline on
     device (vs ``vg_mc_price``'s host sampling) — distribution build,
     draw generation, CDF lookup and payoff reduction are one jitted
     program; only the host-f64 characteristic-function table and one
-    scalar cross the host boundary."""
+    scalar cross the host boundary.
+
+    ``mesh``: optional jax Mesh — the draws are sharded over
+    ``mesh[axis_name]`` (each device samples its own sub-stream and the
+    means combine by pmean; the N-point distribution build is
+    replicated, it is trivia next to the draw batch).  ``samples`` must
+    divide by the mesh axis size."""
     dx, ph = _vg_grid_setup(sigma, theta, kappa, r, t, n)
     dtype = jnp.dtype(dtype)
     params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, r, t))
-    return float(_vg_mc_program(jnp.int32(seed), int(n), int(samples),
-                                bool(is_call), dtype.name, params,
-                                jnp.asarray(ph.real, dtype=dtype),
-                                jnp.asarray(ph.imag, dtype=dtype),
-                                jnp.asarray(float(dx), dtype=dtype)))
+    tables = (params, jnp.asarray(ph.real, dtype=dtype),
+              jnp.asarray(ph.imag, dtype=dtype),
+              jnp.asarray(float(dx), dtype=dtype))
+    if mesh is None:
+        return float(_vg_mc_program(jnp.int32(seed), int(n), int(samples),
+                                    bool(is_call), dtype.name, *tables))
+    nd = mesh.shape[axis_name]
+    if samples % nd:
+        raise ValueError(f"samples={samples} must divide the mesh axis "
+                         f"{axis_name}={nd}")
+    sh_samples = int(samples) // nd
+
+    def body(s, idx, p, phr, phi_, dxv):
+        # disjoint PRNG sub-streams per shard
+        return _vg_mc_body(s * nd + idx, int(n), sh_samples,
+                           bool(is_call), dtype.name, p, phr, phi_, dxv)
+
+    return float(_sharded_mc_mean(body, mesh, axis_name, jnp.int32(seed),
+                                  tables))
 
 
 def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
@@ -151,10 +200,9 @@ def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
     return dct(z, type=4, norm="ortho")
 
 
-@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 7))
-def _asian_qmc_program(start, samples: int, steps: int, nd: int,
-                       is_call: bool, dtype_name: str, params,
-                       exact_halton: bool = False):
+def _asian_qmc_body(start, samples: int, steps: int, nd: int,
+                    is_call: bool, dtype_name: str, params,
+                    exact_halton: bool = False):
     """ONE device program for the whole QMC asian pipeline: Halton
     digits -> inverse normal CDF -> orthonormal DCT-IV path build ->
     cumulative log-return walk -> discounted average payoff.  The
@@ -176,14 +224,26 @@ def _asian_qmc_program(start, samples: int, steps: int, nd: int,
     return jnp.mean(pay) * jnp.exp(-r * t)
 
 
+_asian_qmc_program = partial(jax.jit,
+                             static_argnums=(1, 2, 3, 4, 5, 7))(
+                                 _asian_qmc_body)
+
+
 def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                             steps: int = 128, samples: int = 2000,
                             is_call=False, run_index: int = 0,
-                            dtype=jnp.float32):
+                            dtype=jnp.float32, mesh=None,
+                            axis_name: str = "data"):
     """Arithmetic-average Asian option with the ENTIRE QMC pipeline on
     device (vs ``asian_option_qmc``'s host-numpy Halton setup) — the
     serving-path variant: no host->device transfer scales with the
-    sample count, only five scalars cross."""
+    sample count, only five scalars cross.
+
+    ``mesh``: optional jax Mesh — the Halton index range is partitioned
+    over ``mesh[axis_name]`` (shard d draws indices start + d*S/D ..),
+    so the sharded price estimates the SAME quasi-random point set as
+    the single-chip call; pmean combines the shard means.  ``samples``
+    must divide by the mesh axis size."""
     if steps % 2:
         raise ValueError("steps must be even (DCT-IV path construction)")
     start = samples * run_index + 1
@@ -192,10 +252,25 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
     nd = (nd + 7) // 8 * 8
     dtype = jnp.dtype(dtype)
     params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, sigma, t, r))
-    return float(_asian_qmc_program(jnp.int32(start), int(samples),
-                                    int(steps), nd, bool(is_call),
-                                    dtype.name, params,
-                                    last >= 1 << 24))
+    if mesh is None:
+        return float(_asian_qmc_program(jnp.int32(start), int(samples),
+                                        int(steps), nd, bool(is_call),
+                                        dtype.name, params,
+                                        last >= 1 << 24))
+    ndev = mesh.shape[axis_name]
+    if samples % ndev:
+        raise ValueError(f"samples={samples} must divide the mesh axis "
+                         f"{axis_name}={ndev}")
+    sh_samples = int(samples) // ndev
+    exact = last >= 1 << 24
+
+    def body(s, idx, p):
+        return _asian_qmc_body(s + idx * sh_samples, sh_samples,
+                               int(steps), nd, bool(is_call), dtype.name,
+                               p, exact)
+
+    return float(_sharded_mc_mean(body, mesh, axis_name,
+                                  jnp.int32(start), (params,)))
 
 
 def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,

@@ -292,3 +292,24 @@ def test_fourstep_overlap_bad_chunks():
         fft_fourstep(x, mesh, overlap_chunks=3)   # N1=... not divisible
     with pytest.raises(ValueError):
         fft_fourstep(x, mesh, overlap_chunks=0)
+
+
+def test_sharded_mc_models_match_single_device():
+    """Sample-sharded MC pipelines (models/montecarlo, mesh=...):
+    the asian QMC shard partition draws the SAME Halton index range as
+    the single-chip call, so the sharded price must match to summation
+    order; the VG MC shards use disjoint PRNG sub-streams, so
+    agreement is at MC error."""
+    from cfftpack_tpu.models import (asian_option_qmc_device,
+                                     vg_mc_price_device)
+    mesh = local_mesh()
+    a1 = asian_option_qmc_device(samples=4096)
+    aN = asian_option_qmc_device(samples=4096, mesh=mesh)
+    assert abs(a1 - aN) < 5e-5
+    v1 = vg_mc_price_device(samples=200000, seed=2)
+    vN = vg_mc_price_device(samples=200000, seed=2, mesh=mesh)
+    assert abs(v1 - vN) < 0.15
+    with pytest.raises(ValueError):
+        asian_option_qmc_device(samples=4097, mesh=mesh)
+    with pytest.raises(ValueError):
+        vg_mc_price_device(samples=200001, mesh=mesh)
