@@ -128,23 +128,34 @@ def _vg_mc_body(seed, n: int, samples: int, is_call: bool,
 _vg_mc_program = partial(jax.jit, static_argnums=(1, 2, 3, 4))(_vg_mc_body)
 
 
-def _sharded_mc_mean(body, mesh, axis_name: str, seed, tables):
-    """Data-parallel MC over ``mesh[axis_name]``: each shard runs
-    ``body(shard_seed, *tables)`` -> scalar mean over its (equal-size)
-    draw shard, pmean combines.  Setup tables are replicated (they are
-    tiny next to the draw batch).  jit-wrapped: eager shard_map
+def _mesh_size(mesh) -> int:
+    s = 1
+    for v in mesh.shape.values():
+        s *= int(v)
+    return s
+
+
+def _sharded_mc_mean(body, mesh, seed, tables):
+    """Data-parallel MC over EVERY axis of ``mesh`` (draws are
+    embarrassingly parallel, so the whole device grid works one draw
+    shard each): each shard runs ``body(seed, linear_device_index,
+    *tables)`` -> scalar mean over its (equal-size) draw shard, one
+    pmean over all axes combines.  Setup tables are replicated (they
+    are tiny next to the draw batch).  jit-wrapped: eager shard_map
     dispatches op-by-op and misses the persistent cache (measured
     17-39s/call on the CPU mesh — see parallel/*.py)."""
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
-    nd = mesh.shape[axis_name]
+    names = tuple(mesh.axis_names)
 
     @jax.jit
     def run(seed, *tabs):
         def f(seed, *tabs):
-            idx = jax.lax.axis_index(axis_name)
+            idx = jnp.int32(0)
+            for a in names:
+                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
             local = body(seed, idx, *tabs)
-            return jax.lax.pmean(local, axis_name)
+            return jax.lax.pmean(local, names)
         spec = (P(),) * (1 + len(tabs))
         return shard_map(f, mesh=mesh, in_specs=spec, out_specs=P())(
             seed, *tabs)
@@ -155,18 +166,18 @@ def _sharded_mc_mean(body, mesh, axis_name: str, seed, tables):
 def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
                        r=0.05, t=1.0, n: int = 2048, samples: int = 100000,
                        seed: int = 0, is_call=True, dtype=jnp.float32,
-                       mesh=None, axis_name: str = "data"):
+                       mesh=None):
     """VG call by inverse-CDF Monte Carlo with the ENTIRE pipeline on
     device (vs ``vg_mc_price``'s host sampling) — distribution build,
     draw generation, CDF lookup and payoff reduction are one jitted
     program; only the host-f64 characteristic-function table and one
     scalar cross the host boundary.
 
-    ``mesh``: optional jax Mesh — the draws are sharded over
-    ``mesh[axis_name]`` (each device samples its own sub-stream and the
+    ``mesh``: optional jax Mesh — the draws are sharded over the WHOLE
+    device grid (each device samples a disjoint PRNG sub-stream and the
     means combine by pmean; the N-point distribution build is
-    replicated, it is trivia next to the draw batch).  ``samples`` must
-    divide by the mesh axis size."""
+    replicated, it is trivial next to the draw batch).  ``samples``
+    must divide by the mesh device count."""
     dx, ph = _vg_grid_setup(sigma, theta, kappa, r, t, n)
     dtype = jnp.dtype(dtype)
     params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, r, t))
@@ -176,10 +187,10 @@ def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
     if mesh is None:
         return float(_vg_mc_program(jnp.int32(seed), int(n), int(samples),
                                     bool(is_call), dtype.name, *tables))
-    nd = mesh.shape[axis_name]
+    nd = _mesh_size(mesh)
     if samples % nd:
-        raise ValueError(f"samples={samples} must divide the mesh axis "
-                         f"{axis_name}={nd}")
+        raise ValueError(f"samples={samples} must divide the mesh "
+                         f"device count {nd}")
     sh_samples = int(samples) // nd
 
     def body(s, idx, p, phr, phi_, dxv):
@@ -187,8 +198,7 @@ def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
         return _vg_mc_body(s * nd + idx, int(n), sh_samples,
                            bool(is_call), dtype.name, p, phr, phi_, dxv)
 
-    return float(_sharded_mc_mean(body, mesh, axis_name, jnp.int32(seed),
-                                  tables))
+    return float(_sharded_mc_mean(body, mesh, jnp.int32(seed), tables))
 
 
 def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
@@ -232,18 +242,17 @@ _asian_qmc_program = partial(jax.jit,
 def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                             steps: int = 128, samples: int = 2000,
                             is_call=False, run_index: int = 0,
-                            dtype=jnp.float32, mesh=None,
-                            axis_name: str = "data"):
+                            dtype=jnp.float32, mesh=None):
     """Arithmetic-average Asian option with the ENTIRE QMC pipeline on
     device (vs ``asian_option_qmc``'s host-numpy Halton setup) — the
     serving-path variant: no host->device transfer scales with the
     sample count, only five scalars cross.
 
     ``mesh``: optional jax Mesh — the Halton index range is partitioned
-    over ``mesh[axis_name]`` (shard d draws indices start + d*S/D ..),
-    so the sharded price estimates the SAME quasi-random point set as
-    the single-chip call; pmean combines the shard means.  ``samples``
-    must divide by the mesh axis size."""
+    over the WHOLE device grid (device d draws indices start + d*S/D
+    ..), so the sharded price estimates the SAME quasi-random point set
+    as the single-chip call; pmean combines the shard means.
+    ``samples`` must divide by the mesh device count."""
     if steps % 2:
         raise ValueError("steps must be even (DCT-IV path construction)")
     start = samples * run_index + 1
@@ -257,10 +266,10 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                                         int(steps), nd, bool(is_call),
                                         dtype.name, params,
                                         last >= 1 << 24))
-    ndev = mesh.shape[axis_name]
+    ndev = _mesh_size(mesh)
     if samples % ndev:
-        raise ValueError(f"samples={samples} must divide the mesh axis "
-                         f"{axis_name}={ndev}")
+        raise ValueError(f"samples={samples} must divide the mesh "
+                         f"device count {ndev}")
     sh_samples = int(samples) // ndev
     exact = last >= 1 << 24
 
@@ -269,8 +278,8 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                                int(steps), nd, bool(is_call), dtype.name,
                                p, exact)
 
-    return float(_sharded_mc_mean(body, mesh, axis_name,
-                                  jnp.int32(start), (params,)))
+    return float(_sharded_mc_mean(body, mesh, jnp.int32(start),
+                                  (params,)))
 
 
 def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,

@@ -302,14 +302,17 @@ def test_sharded_mc_models_match_single_device():
     agreement is at MC error."""
     from cfftpack_tpu.models import (asian_option_qmc_device,
                                      vg_mc_price_device)
-    mesh = local_mesh()
     a1 = asian_option_qmc_device(samples=4096)
-    aN = asian_option_qmc_device(samples=4096, mesh=mesh)
-    assert abs(a1 - aN) < 5e-5
     v1 = vg_mc_price_device(samples=200000, seed=2)
-    vN = vg_mc_price_device(samples=200000, seed=2, mesh=mesh)
-    assert abs(v1 - vN) < 0.15
+    # sharding spans ALL mesh axes: a 1-axis data mesh and a 2-D
+    # (data, model) mesh must both work and agree
+    for mesh in (local_mesh(), make_mesh((NDEV // 2, 2),
+                                         ("data", "model"))):
+        aN = asian_option_qmc_device(samples=4096, mesh=mesh)
+        assert abs(a1 - aN) < 5e-5
+        vN = vg_mc_price_device(samples=200000, seed=2, mesh=mesh)
+        assert abs(v1 - vN) < 0.15
     with pytest.raises(ValueError):
-        asian_option_qmc_device(samples=4097, mesh=mesh)
+        asian_option_qmc_device(samples=4097, mesh=local_mesh())
     with pytest.raises(ValueError):
-        vg_mc_price_device(samples=200001, mesh=mesh)
+        vg_mc_price_device(samples=200001, mesh=local_mesh())
