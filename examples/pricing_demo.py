@@ -74,10 +74,15 @@ def demo_qmc():
 
 
 def demo_vgmc():
-    from cfftpack_tpu.models import vg_mc_price
+    from cfftpack_tpu.models import vg_mc_price, vg_mc_price_device
     print("\nVariance-Gamma inverse-CDF Monte Carlo (vg_mc.cpp analog)")
     p = vg_mc_price(samples=200000, seed=3)
-    print(f"  VG call price: {p:.6f}  (QuantLib target 9.342466)")
+    print(f"  VG call price (host sampling):   {p:.6f}  "
+          f"(QuantLib target 9.342466)")
+    # single-program device pipeline (pass mesh=<jax Mesh> to shard the
+    # draws across a device grid)
+    pd_ = vg_mc_price_device(samples=200000, seed=3)
+    print(f"  VG call price (device pipeline): {pd_:.6f}")
 
 
 def demo_shortrate():
