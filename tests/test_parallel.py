@@ -156,6 +156,10 @@ def test_dctn2_sharded_matches_dctn():
     got_s = np.asarray(dstn2_sharded(jnp.asarray(x), mesh))
     np.testing.assert_allclose(got_s, np.asarray(ct.dstn(x, 3)),
                                atol=TOL * 8)
+    from cfftpack_tpu.parallel import idstn2_sharded
+    back_s = np.asarray(idstn2_sharded(dstn2_sharded(jnp.asarray(x), mesh),
+                                       mesh))
+    np.testing.assert_allclose(back_s, x, atol=TOL * 32)
 
 
 def test_rowcol2d_sharded_batched_with_2d_mesh():

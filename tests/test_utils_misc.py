@@ -208,3 +208,25 @@ def test_split_api_bf16_promoted_to_f32():
     assert yr.dtype == jnp.float32
     zr, _ = ct.rfft_split(x)
     assert zr.dtype == jnp.float32
+
+
+def test_debug_hooks():
+    """Failure-detection aux subsystem (SURVEY §5): check_finite is the
+    host-side post-hoc assertion; enable_nan_checks toggles the
+    jax_debug_nans/infs configs that make jitted code raise at the
+    offending op."""
+    import pytest
+    from cfftpack_tpu.utils import check_finite, enable_nan_checks
+
+    check_finite(np.ones(4), jnp.zeros((2, 2)), name="ok")
+    with pytest.raises(FloatingPointError, match=r"bad\[1\]: 2 non-finite"):
+        check_finite(np.ones(3), np.array([np.nan, 1.0, np.inf]),
+                     name="bad")
+    try:
+        enable_nan_checks(True)
+        assert jax.config.jax_debug_nans and jax.config.jax_debug_infs
+        with pytest.raises(FloatingPointError):
+            jax.block_until_ready(jnp.log(jnp.zeros(4) - 1.0))
+    finally:
+        enable_nan_checks(False)
+    assert not jax.config.jax_debug_nans
