@@ -17,6 +17,8 @@ from .fourstep import fft_fourstep, ifft_fourstep  # noqa: F401
 from .fourstep_split import (fft_fourstep_split,  # noqa: F401
                              ifft_fourstep_split)
 from .fft2d import (fft2_sharded, ifft2_sharded,  # noqa: F401
-                    fft2_sharded_split, ifft2_sharded_split)
+                    fft2_sharded_split, ifft2_sharded_split,
+                    rfft2_sharded, irfft2_sharded,
+                    rfft2_sharded_split, irfft2_sharded_split)
 from .rowcol import (rowcol2d_sharded, dctn2_sharded,  # noqa: F401
                      idctn2_sharded, dstn2_sharded, idstn2_sharded)

@@ -19,7 +19,9 @@ from ..config import DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale, \
     inv_scale
 from ..ops.cfft import _dft_last_axis
 
-__all__ = ["fft2_sharded", "ifft2_sharded"]
+__all__ = ["fft2_sharded", "ifft2_sharded", "fft2_sharded_split",
+           "ifft2_sharded_split", "rfft2_sharded", "irfft2_sharded",
+           "rfft2_sharded_split", "irfft2_sharded_split"]
 
 
 def _core(blk, n0, n1, inverse, axis_name):
@@ -152,3 +154,161 @@ def ifft2_sharded_split(yr, yi, mesh: Mesh, axis_name: str = "data",
                         batch_axis_name: str | None = None):
     return _fft2_sharded_pair_jit(yr, yi, mesh, axis_name, True,
                                   check_norm(norm), batch_axis_name)
+
+
+# ------------------------------------------------- sharded REAL 2-D
+
+def _a2a_fwd(a, axis_name):
+    return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
+                              concat_axis=a.ndim - 2, tiled=True)
+
+
+def _a2a_back(a, axis_name):
+    return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
+                              concat_axis=a.ndim - 1, tiled=True)
+
+
+def _rfft2_core(x, n0, n1, hp, axis_name):
+    """Local block (..., n0/D, n1) real -> packed split spectrum
+    (..., n0/D, n1//2+1).
+
+    Row pass is the local r2c; the column pass pads the ragged
+    (n1//2+1)-bin spectrum axis up to ``hp`` (a multiple of D) so the
+    all-to-all transpose tiles evenly — the pad columns are zeros,
+    transform to zeros, and are sliced off after the back-transpose.
+    Distributed analog of the 2-D real core rfft2f_
+    (/root/reference/cfftpack/fftpack.c:13282-13445: rfftm along dim 1,
+    cfftm across rows)."""
+    from ..ops import core
+    h1 = n1 // 2 + 1
+    yr, yi = core.srfft(x, n1)                     # rows (local r2c)
+    cfg = [(0, 0)] * (yr.ndim - 1) + [(0, hp - h1)]
+    yr = jnp.pad(yr, cfg)
+    yi = jnp.pad(yi, cfg)
+    yr, yi = _a2a_fwd(yr, axis_name), _a2a_fwd(yi, axis_name)
+    yr = jnp.swapaxes(yr, -1, -2)                  # (..., hp/D, n0)
+    yi = jnp.swapaxes(yi, -1, -2)
+    yr, yi = core.sfft(yr, yi, n0, inverse=False)  # columns (local)
+    yr = jnp.swapaxes(yr, -1, -2)
+    yi = jnp.swapaxes(yi, -1, -2)
+    yr, yi = _a2a_back(yr, axis_name), _a2a_back(yi, axis_name)
+    return yr[..., :h1], yi[..., :h1]
+
+
+def _irfft2_core(yr, yi, n0, n1, hp, axis_name):
+    """Inverse of _rfft2_core: split spectrum block (..., n0/D,
+    n1//2+1) -> real block (..., n0/D, n1).  Returns n0*n1-scaled
+    output (both sub-inverses unscaled); norm applied by the caller."""
+    from ..ops import core
+    h1 = n1 // 2 + 1
+    cfg = [(0, 0)] * (yr.ndim - 1) + [(0, hp - h1)]
+    yr = jnp.pad(yr, cfg)
+    yi = jnp.pad(yi, cfg)
+    yr, yi = _a2a_fwd(yr, axis_name), _a2a_fwd(yi, axis_name)
+    yr = jnp.swapaxes(yr, -1, -2)
+    yi = jnp.swapaxes(yi, -1, -2)
+    yr, yi = core.sfft(yr, yi, n0, inverse=True)   # columns (local)
+    yr = jnp.swapaxes(yr, -1, -2)
+    yi = jnp.swapaxes(yi, -1, -2)
+    yr = _a2a_back(yr, axis_name)[..., :h1]
+    yi = _a2a_back(yi, axis_name)[..., :h1]
+    return core.sirfft(yr, yi, n1)                 # rows (local c2r)
+
+
+def _rfft2_sharded_pair(x, mesh, axis_name, norm, batch_axis_name=None):
+    x = jnp.asarray(x)
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    n0, n1 = x.shape[-2], x.shape[-1]
+    d = mesh.shape[axis_name]
+    if n0 % d:
+        raise ValueError(f"row count {n0} must divide mesh size {d}")
+    hp = -(-(n1 // 2 + 1) // d) * d               # pad bins to mult of D
+    lead = x.ndim - 2
+    ls = [None] * lead
+    if batch_axis_name is not None and lead:
+        ls[0] = batch_axis_name
+    fs = shard_map(
+        partial(_rfft2_core, n0=n0, n1=n1, hp=hp, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=P(*ls, axis_name, None),
+        out_specs=(P(*ls, axis_name, None), P(*ls, axis_name, None)),
+    )
+    yr, yi = fs(x)
+    s = fwd_scale(norm, n0) * fwd_scale(norm, n1)
+    if s != 1.0:
+        yr = yr * s
+        yi = yi * s
+    return yr, yi
+
+
+def _irfft2_sharded_pair(yr, yi, n1, mesh, axis_name, norm,
+                         batch_axis_name=None):
+    yr = jnp.asarray(yr)
+    yi = jnp.asarray(yi)
+    if yr.shape != yi.shape:
+        raise ValueError("re/im shapes differ")
+    n0 = yr.shape[-2]
+    if yr.shape[-1] != n1 // 2 + 1:
+        raise ValueError(
+            f"irfft2_sharded: spectrum axis has {yr.shape[-1]} bins, "
+            f"expected n1//2+1 = {n1 // 2 + 1} for n1={n1}")
+    d = mesh.shape[axis_name]
+    if n0 % d:
+        raise ValueError(f"row count {n0} must divide mesh size {d}")
+    hp = -(-(n1 // 2 + 1) // d) * d
+    lead = yr.ndim - 2
+    ls = [None] * lead
+    if batch_axis_name is not None and lead:
+        ls[0] = batch_axis_name
+    fs = shard_map(
+        partial(_irfft2_core, n0=n0, n1=n1, hp=hp, axis_name=axis_name),
+        mesh=mesh,
+        in_specs=(P(*ls, axis_name, None), P(*ls, axis_name, None)),
+        out_specs=P(*ls, axis_name, None),
+    )
+    x = fs(yr, yi)
+    s = inv_scale(norm, n0) * inv_scale(norm, n1)
+    if s != 1.0:
+        x = x * s
+    return x
+
+
+_rfft2_sharded_jit = jax.jit(_rfft2_sharded_pair,
+                             static_argnums=(1, 2, 3, 4))
+_irfft2_sharded_jit = jax.jit(_irfft2_sharded_pair,
+                              static_argnums=(2, 3, 4, 5, 6))
+
+
+def rfft2_sharded_split(x, mesh: Mesh, axis_name: str = "data",
+                        norm: str = DEFAULT_NORM,
+                        batch_axis_name: str | None = None):
+    """Sharded 2-D real FFT: real rows sharded over the mesh in, packed
+    split (re, im) half-spectrum out, sharded the same way."""
+    return _rfft2_sharded_jit(x, mesh, axis_name, check_norm(norm),
+                              batch_axis_name)
+
+
+def irfft2_sharded_split(yr, yi, n1: int, mesh: Mesh,
+                         axis_name: str = "data", norm: str = DEFAULT_NORM,
+                         batch_axis_name: str | None = None):
+    """Inverse sharded 2-D real FFT; ``n1`` is the real row length."""
+    return _irfft2_sharded_jit(yr, yi, int(n1), mesh, axis_name,
+                               check_norm(norm), batch_axis_name)
+
+
+def rfft2_sharded(x, mesh: Mesh, axis_name: str = "data",
+                  norm: str = DEFAULT_NORM,
+                  batch_axis_name: str | None = None):
+    """Complex-dtype convenience wrapper over rfft2_sharded_split."""
+    yr, yi = rfft2_sharded_split(x, mesh, axis_name, norm,
+                                 batch_axis_name)
+    return yr + 1j * yi
+
+
+def irfft2_sharded(y, n1: int, mesh: Mesh, axis_name: str = "data",
+                   norm: str = DEFAULT_NORM,
+                   batch_axis_name: str | None = None):
+    y = jnp.asarray(y)
+    return irfft2_sharded_split(jnp.real(y), jnp.imag(y), n1, mesh,
+                                axis_name, norm, batch_axis_name)

@@ -320,3 +320,37 @@ def test_sharded_mc_models_match_single_device():
         asian_option_qmc_device(samples=4097, mesh=local_mesh())
     with pytest.raises(ValueError):
         vg_mc_price_device(samples=200001, mesh=local_mesh())
+
+
+def test_rfft2_sharded_matches_single_device():
+    """Sharded 2-D real FFT (rows sharded; ragged n1//2+1 spectrum axis
+    padded to tile the all-to-all): parity with ops.rfft2 incl. odd row
+    length and ortho norm, plus the 2-all-to-all forward budget."""
+    from cfftpack_tpu.parallel import (rfft2_sharded, irfft2_sharded,
+                                       rfft2_sharded_split,
+                                       irfft2_sharded_split)
+    import jax.numpy as jnp
+    mesh = local_mesh()
+    r = np.random.default_rng(5)
+    for (n0, n1) in ((16, 24), (32, 15)):
+        x = r.standard_normal((n0, n1))
+        got = np.asarray(rfft2_sharded(x, mesh))
+        np.testing.assert_allclose(got, np.asarray(ct.rfft2(x)),
+                                   atol=TOL * 8)
+        back = np.asarray(irfft2_sharded(jnp.asarray(got), n1, mesh))
+        np.testing.assert_allclose(back, x, atol=TOL * 32)
+        yr, yi = rfft2_sharded_split(x, mesh, norm="ortho")
+        b2 = np.asarray(irfft2_sharded_split(yr, yi, n1, mesh,
+                                             norm="ortho"))
+        np.testing.assert_allclose(b2, x, atol=TOL * 32)
+    with pytest.raises(ValueError):
+        rfft2_sharded(np.ones((NDEV * 2 + 1, 8)), local_mesh())
+    # collective budget: one transpose there + one back per direction
+    from cfftpack_tpu.parallel.fft2d import _rfft2_sharded_jit
+    import jax
+    x = jnp.zeros((16, 24))
+    txt = _rfft2_sharded_jit.lower(x, local_mesh(), "data", "fftpack",
+                                   None).compile().as_text()
+    n_a2a = sum(1 for line in txt.splitlines() if "all-to-all(" in line)
+    # one transpose there + one back, times two split (re, im) planes
+    assert n_a2a == 4, f"expected 4 all-to-all in forward, got {n_a2a}"
