@@ -40,6 +40,7 @@ import argparse
 import ctypes
 import json
 import os
+import re
 import sys
 import tempfile
 import time
@@ -60,20 +61,27 @@ M_REF = 100000      # vg_mc.cpp:93
 
 def run_reference(lib) -> tuple[float, float]:
     """One full reference run; returns (printed price, wall seconds).
-    cout is captured via a temporary fd-1 redirect."""
+    cout is captured via a temporary fd-1 redirect; the restore runs in
+    a finally so a failing call cannot leave stdout pointed at the
+    (closed) tempfile."""
     with tempfile.TemporaryFile() as tf:
         old = os.dup(1)
         sys.stdout.flush()
-        os.dup2(tf.fileno(), 1)
-        t0 = time.perf_counter()
-        lib.ref_vg_mc()
-        dt = time.perf_counter() - t0
-        sys.stdout.flush()
-        os.dup2(old, 1)
-        os.close(old)
+        try:
+            os.dup2(tf.fileno(), 1)
+            t0 = time.perf_counter()
+            lib.ref_vg_mc()
+            dt = time.perf_counter() - t0
+            sys.stdout.flush()
+        finally:
+            os.dup2(old, 1)
+            os.close(old)
         tf.seek(0)
         out = tf.read().decode()
-    return float(out.split(":")[1]), dt
+    m = re.search(r"price:\s*([-0-9.eE+]+)", out)
+    if not m:
+        raise RuntimeError(f"unexpected reference output: {out!r}")
+    return float(m.group(1)), dt
 
 
 def main():

@@ -128,39 +128,58 @@ def _vg_mc_body(seed, n: int, samples: int, is_call: bool,
 _vg_mc_program = partial(jax.jit, static_argnums=(1, 2, 3, 4))(_vg_mc_body)
 
 
-def _mesh_size(mesh) -> int:
-    s = 1
-    for v in mesh.shape.values():
-        s *= int(v)
-    return s
+def _device_linear_index(mesh):
+    """Traced linear index of this shard over EVERY mesh axis."""
+    idx = jnp.int32(0)
+    for a in mesh.axis_names:
+        idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
+    return idx
 
 
-def _sharded_mc_mean(body, mesh, seed, tables):
-    """Data-parallel MC over EVERY axis of ``mesh`` (draws are
-    embarrassingly parallel, so the whole device grid works one draw
-    shard each): each shard runs ``body(seed, linear_device_index,
-    *tables)`` -> scalar mean over its (equal-size) draw shard, one
-    pmean over all axes combines.  Setup tables are replicated (they
-    are tiny next to the draw batch).  jit-wrapped: eager shard_map
-    dispatches op-by-op and misses the persistent cache (measured
-    17-39s/call on the CPU mesh — see parallel/*.py)."""
+# The sharded MC programs below are MODULE-LEVEL jits with the (hashable)
+# Mesh as a static argument: a per-call @jax.jit closure never hits the
+# jit cache, so every mesh= price would retrace + recompile (measured
+# 4.6-6.8 s per warm call on the 8-device CPU mesh vs milliseconds
+# cached).  Draws are embarrassingly parallel: the whole device grid
+# works one equal-size draw shard each, one pmean over all axes
+# combines, and the tiny setup tables are replicated.
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5))
+def _vg_mc_sharded(seed, mesh, n: int, sh_samples: int, is_call: bool,
+                   dtype_name: str, params, phr, phi_, dx):
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+    names = tuple(mesh.axis_names)
+    nd = mesh.size
+
+    def f(seed, params, phr, phi_, dx):
+        # disjoint PRNG sub-streams per shard
+        local = _vg_mc_body(seed * nd + _device_linear_index(mesh), n,
+                            sh_samples, is_call, dtype_name, params,
+                            phr, phi_, dx)
+        return jax.lax.pmean(local, names)
+
+    return shard_map(f, mesh=mesh, in_specs=(P(),) * 5, out_specs=P())(
+        seed, params, phr, phi_, dx)
+
+
+@partial(jax.jit, static_argnums=(1, 2, 3, 4, 5, 6, 7))
+def _asian_qmc_sharded(start, mesh, sh_samples: int, steps: int, nd: int,
+                       is_call: bool, dtype_name: str, exact: bool,
+                       params):
     from jax import shard_map
     from jax.sharding import PartitionSpec as P
     names = tuple(mesh.axis_names)
 
-    @jax.jit
-    def run(seed, *tabs):
-        def f(seed, *tabs):
-            idx = jnp.int32(0)
-            for a in names:
-                idx = idx * mesh.shape[a] + jax.lax.axis_index(a)
-            local = body(seed, idx, *tabs)
-            return jax.lax.pmean(local, names)
-        spec = (P(),) * (1 + len(tabs))
-        return shard_map(f, mesh=mesh, in_specs=spec, out_specs=P())(
-            seed, *tabs)
+    def f(start, params):
+        # shard d draws the Halton index sub-range start + d*S/D ..
+        local = _asian_qmc_body(
+            start + _device_linear_index(mesh) * sh_samples, sh_samples,
+            steps, nd, is_call, dtype_name, params, exact)
+        return jax.lax.pmean(local, names)
 
-    return run(seed, *tables)
+    return shard_map(f, mesh=mesh, in_specs=(P(), P()), out_specs=P())(
+        start, params)
 
 
 def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
@@ -187,18 +206,13 @@ def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
     if mesh is None:
         return float(_vg_mc_program(jnp.int32(seed), int(n), int(samples),
                                     bool(is_call), dtype.name, *tables))
-    nd = _mesh_size(mesh)
+    nd = mesh.size
     if samples % nd:
         raise ValueError(f"samples={samples} must divide the mesh "
                          f"device count {nd}")
-    sh_samples = int(samples) // nd
-
-    def body(s, idx, p, phr, phi_, dxv):
-        # disjoint PRNG sub-streams per shard
-        return _vg_mc_body(s * nd + idx, int(n), sh_samples,
-                           bool(is_call), dtype.name, p, phr, phi_, dxv)
-
-    return float(_sharded_mc_mean(body, mesh, jnp.int32(seed), tables))
+    return float(_vg_mc_sharded(jnp.int32(seed), mesh, int(n),
+                                int(samples) // nd, bool(is_call),
+                                dtype.name, *tables))
 
 
 def brownian_paths_qmc(n_paths: int, steps: int, start_index: int = 1):
@@ -266,20 +280,14 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                                         int(steps), nd, bool(is_call),
                                         dtype.name, params,
                                         last >= 1 << 24))
-    ndev = _mesh_size(mesh)
+    ndev = mesh.size
     if samples % ndev:
         raise ValueError(f"samples={samples} must divide the mesh "
                          f"device count {ndev}")
-    sh_samples = int(samples) // ndev
-    exact = last >= 1 << 24
-
-    def body(s, idx, p):
-        return _asian_qmc_body(s + idx * sh_samples, sh_samples,
-                               int(steps), nd, bool(is_call), dtype.name,
-                               p, exact)
-
-    return float(_sharded_mc_mean(body, mesh, jnp.int32(start),
-                                  (params,)))
+    return float(_asian_qmc_sharded(jnp.int32(start), mesh,
+                                    int(samples) // ndev, int(steps), nd,
+                                    bool(is_call), dtype.name,
+                                    last >= 1 << 24, params))
 
 
 def asian_option_qmc(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,

@@ -28,13 +28,11 @@ def _core(blk, n0, n1, inverse, axis_name):
     """blk: local (..., n0/D, n1) block, rows sharded."""
     a = _dft_last_axis(blk, n1, inverse)          # row FFTs (local)
     # transpose via all-to-all: shard columns, gather rows
-    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
-                           concat_axis=a.ndim - 2, tiled=True)
+    a = _a2a_fwd(a, axis_name)
     a = jnp.swapaxes(a, -1, -2)                    # (..., n1/D, n0)
     a = _dft_last_axis(a, n0, inverse)             # column FFTs (local)
     a = jnp.swapaxes(a, -1, -2)                    # (..., n0, n1/D)
-    a = jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
-                           concat_axis=a.ndim - 1, tiled=True)
+    a = _a2a_back(a, axis_name)
     return a                                       # (..., n0/D, n1)
 
 
@@ -90,23 +88,14 @@ def ifft2_sharded(y, mesh: Mesh, axis_name: str = "data",
 
 def _core_pair(br, bi, n0, n1, inverse, axis_name):
     from ..ops import core
-
-    def a2a(a):
-        return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 1,
-                                  concat_axis=a.ndim - 2, tiled=True)
-
-    def a2a_back(a):
-        return jax.lax.all_to_all(a, axis_name, split_axis=a.ndim - 2,
-                                  concat_axis=a.ndim - 1, tiled=True)
-
     ar, ai = core.sfft(br, bi, n1, inverse)        # rows (local)
-    ar, ai = a2a(ar), a2a(ai)
+    ar, ai = _a2a_fwd(ar, axis_name), _a2a_fwd(ai, axis_name)
     ar = jnp.swapaxes(ar, -1, -2)
     ai = jnp.swapaxes(ai, -1, -2)
     ar, ai = core.sfft(ar, ai, n0, inverse)        # columns (local)
     ar = jnp.swapaxes(ar, -1, -2)
     ai = jnp.swapaxes(ai, -1, -2)
-    return a2a_back(ar), a2a_back(ai)
+    return _a2a_back(ar, axis_name), _a2a_back(ai, axis_name)
 
 
 def _fft2_sharded_pair(xr, xi, mesh, axis_name, inverse, norm,
