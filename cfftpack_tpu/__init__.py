@@ -16,6 +16,7 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   fft_split, ifft_split, rfft_split, irfft_split,
                   rfilter_split,
                   gdft_split, igdft_split,
-                  fftfreq, rfftfreq, circular_convolve)
+                  fftfreq, rfftfreq, circular_convolve,
+                  fft_hp, ifft_hp, sfft_hp)
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"

@@ -1,0 +1,86 @@
+"""Double-float (df64) arithmetic + high-precision FFT.
+
+The hp engine's claim: reference-C-double accuracy (testall.c's 1e-13
+bar) from pure f32 pairs, on backends with no usable f64.  Pinned three
+ways: error-free-transformation identities vs f64 oracles, fft_hp vs
+numpy f64, and fft_hp vs the golden vectors produced by RUNNING the
+reference C library in double precision.
+
+Sizes are kept small: the df graphs are ~20x the f32 engine's op count
+and compile accordingly.
+"""
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+import cfftpack_tpu as ct
+from cfftpack_tpu.ops import df64 as D
+
+GOLD = np.load(__file__.rsplit("/", 1)[0] + "/golden/golden.npz")
+
+
+def test_df64_arithmetic_vs_f64():
+    r = np.random.default_rng(0)
+    a = r.standard_normal(4096) * 10.0 ** r.integers(-6, 6, 4096)
+    b = r.standard_normal(4096) * 10.0 ** r.integers(-6, 6, 4096)
+    ah, al = D.df_split_host(a)
+    bh, bl = D.df_split_host(b)
+    # split keeps ~48 bits (24 + 24): relative error < 2^-45
+    m = D.df_merge_host(ah, al)
+    assert (np.abs(m - a) / np.abs(a)).max() < 2.0 ** -45
+    args = [jnp.asarray(v) for v in (ah, al, bh, bl)]
+    ph, pl = jax.jit(D.df_mul)(*args)
+    p = D.df_merge_host(np.asarray(ph), np.asarray(pl))
+    rel = np.abs(p - a * b) / np.maximum(np.abs(a * b), 1e-30)
+    assert rel.max() < 1e-13
+    sh, sl = jax.jit(D.df_add)(*args)
+    s = D.df_merge_host(np.asarray(sh), np.asarray(sl))
+    # error bound relative to OPERAND magnitude (~2^-48): the result
+    # magnitude can cancel to anything
+    err = np.abs(s - (a + b)) / (np.abs(a) + np.abs(b))
+    assert err.max() < 1e-12
+
+
+@pytest.mark.parametrize("n", [8, 60])
+def test_fft_hp_matches_numpy_f64(n):
+    r = np.random.default_rng(n)
+    x = r.standard_normal((2, n)) + 1j * r.standard_normal((2, n))
+    got = ct.fft_hp(x)
+    assert got.dtype == np.complex128
+    want = np.fft.fft(x, axis=-1) / n          # fftpack forward norm
+    rel = np.linalg.norm(got - want) / np.linalg.norm(want)
+    assert rel < 5e-14
+    back = ct.ifft_hp(ct.fft_hp(x))
+    assert np.abs(back - x).max() < 1e-13
+    # ortho norm
+    go = ct.fft_hp(x, norm="ortho")
+    np.testing.assert_allclose(go, np.fft.fft(x, axis=-1) / np.sqrt(n),
+                               atol=1e-13)
+
+
+def test_fft_hp_generic_odd_radix():
+    """31 is a generic-radix factor (dense df column sum)."""
+    n = 31 * 2
+    r = np.random.default_rng(7)
+    x = r.standard_normal(n) + 1j * r.standard_normal(n)
+    rel = np.linalg.norm(ct.fft_hp(x) - np.fft.fft(x) / n) / \
+        np.linalg.norm(np.fft.fft(x) / n)
+    assert rel < 5e-14
+
+
+@pytest.mark.parametrize("n", [32, 60])
+def test_fft_hp_matches_reference_golden(n):
+    """Direct parity with the reference C library's f64 output — the
+    C-double capability (fftpack.h fft_real_t=double) reproduced from
+    f32 pairs."""
+    x = GOLD[f"fft_in_{n}"]
+    np.testing.assert_allclose(ct.fft_hp(x), GOLD[f"fft_fwd_{n}"],
+                               atol=1e-13)
+    np.testing.assert_allclose(ct.ifft_hp(x), GOLD[f"fft_inv_{n}"],
+                               atol=1e-13 * n)
+
+
+def test_fft_hp_large_prime_raises():
+    with pytest.raises(ValueError, match="factor 37"):
+        ct.fft_hp(np.ones(37 * 41))
