@@ -7,4 +7,5 @@ from .dct import (dct, idct, dst, idst,  # noqa: F401
 from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401
 from .shift import fftshift, ifftshift  # noqa: F401
 from .freq import fftfreq, rfftfreq, circular_convolve  # noqa: F401
-from .hp import fft_hp, ifft_hp, sfft_hp  # noqa: F401
+from .hp import (fft_hp, ifft_hp, sfft_hp,  # noqa: F401
+                 rfft_hp, dct2_hp)

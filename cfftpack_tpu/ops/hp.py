@@ -32,7 +32,7 @@ from ..config import DEFAULT_NORM, check_norm, fwd_scale, inv_scale
 from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
                    df_merge_host)
 
-__all__ = ["fft_hp", "ifft_hp", "sfft_hp"]
+__all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "dct2_hp"]
 
 _MAX_HP_FACTOR = 32
 
@@ -205,3 +205,135 @@ def fft_hp(x, norm: str = DEFAULT_NORM):
 
 def ifft_hp(y, norm: str = DEFAULT_NORM):
     return _fft_hp(y, True, check_norm(norm))
+
+
+# ------------------------------------------------- real + DCT hp paths
+
+def _df_tab(v, dtype):
+    """Host f64 table -> df pair of device constants."""
+    hi, lo = df_split_host(np.asarray(v, dtype=np.float64))
+    return (jnp.asarray(hi, dtype=dtype), jnp.asarray(lo, dtype=dtype))
+
+
+def _quad_split(x_f64):
+    """Host f64 real array -> df pair of device arrays."""
+    hi, lo = df_split_host(x_f64)
+    return jnp.asarray(hi), jnp.asarray(lo)
+
+
+@partial(jax.jit, static_argnums=(2,))
+def _srfft_hp_jit(xh, xl, n: int):
+    """Unscaled r2c of a df real input -> df-complex quad of n//2+1
+    bins.  Even n: half-length complex trick with the (Z, Z-mirror)
+    merge FMA of core.srfft, every table df-split; odd n: full-length
+    transform of (x, 0), truncated."""
+    from .core import _rfft_merge_tables
+    z = jnp.zeros_like(xh)
+    if n % 2 == 0:
+        h = n // 2
+        quads = (xh[..., 0::2], xl[..., 0::2], xh[..., 1::2],
+                 xl[..., 1::2])
+        Zr_h, Zr_l, Zi_h, Zi_l = sfft_hp(*quads, h, False)
+        tabs = [_df_tab(t[1:], xh.dtype) for t in _rfft_merge_tables(n)]
+        a1, a2, a3, a4, b1, b2, b3, b4 = tabs
+        Zrc = (Zr_h[..., 1:], Zr_l[..., 1:])
+        Zic = (Zi_h[..., 1:], Zi_l[..., 1:])
+        Zrf = (Zrc[0][..., ::-1], Zrc[1][..., ::-1])
+        Zif = (Zic[0][..., ::-1], Zic[1][..., ::-1])
+
+        def fma(t1, t2, t3, t4):
+            acc = df_mul(*Zrc, *t1)
+            acc = df_add(*acc, *df_mul(*Zic, *t2))
+            acc = df_add(*acc, *df_mul(*Zrf, *t3))
+            return df_add(*acc, *df_mul(*Zif, *t4))
+
+        yr_c = fma(a1, a2, a3, a4)
+        yi_c = fma(b1, b2, b3, b4)
+        dc = df_add(Zr_h[..., :1], Zr_l[..., :1],
+                    Zi_h[..., :1], Zi_l[..., :1])
+        nyq = df_sub(Zr_h[..., :1], Zr_l[..., :1],
+                     Zi_h[..., :1], Zi_l[..., :1])
+        z1 = jnp.zeros_like(dc[0])
+        yr = tuple(jnp.concatenate([d, c, q], axis=-1)
+                   for d, c, q in zip(dc, yr_c, nyq))
+        yi = tuple(jnp.concatenate([z1, c, z1], axis=-1) for c in yi_c)
+        return yr[0], yr[1], yi[0], yi[1]
+    Yh, Yl, Ih_, Il_ = sfft_hp(xh, xl, z, z, n, False)
+    k = n // 2 + 1
+    return (Yh[..., :k], Yl[..., :k],
+            Ih_[..., :k].at[..., 0].set(0.0), Il_[..., :k].at[..., 0].set(0.0))
+
+
+def rfft_hp(x, norm: str = DEFAULT_NORM):
+    """Real FFT at double-float precision: host f64 real in, packed
+    (n//2+1) complex128 out (reference layout, cfftpack.c:466-471)."""
+    norm = check_norm(norm)
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    xh, xl = _quad_split(x)
+    rh, rl, ih, il = (np.asarray(a) for a in _srfft_hp_jit(xh, xl, n))
+    y = df_merge_host(rh, rl) + 1j * df_merge_host(ih, il)
+    s = fwd_scale(norm, n)
+    return y * np.float64(s) if s != 1.0 else y
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _dct2_hp_jit(xh, xl, ph_r, ph_i, n: int):
+    """Unscaled DCT-II via the Makhoul permutation + half-spectrum
+    phase reconstruction (the all-n path of dct._dct2_core, df
+    throughout)."""
+    vh = jnp.concatenate([xh[..., 0::2], xh[..., 1::2][..., ::-1]],
+                         axis=-1)
+    vl = jnp.concatenate([xl[..., 0::2], xl[..., 1::2][..., ::-1]],
+                         axis=-1)
+    Vr_h, Vr_l, Vi_h, Vi_l = _srfft_hp_jit(vh, vl, n)
+    h = n // 2
+    phr_lo, phi_lo = ph_r[0][: h + 1], ph_r[1][: h + 1]
+    pir_lo, pii_lo = ph_i[0][: h + 1], ph_i[1][: h + 1]
+    # y_low = Re(ph * V) = phr*Vr - phi*Vi
+    y_lo = df_sub(*df_mul(Vr_h, Vr_l, phr_lo, phi_lo),
+                  *df_mul(Vi_h, Vi_l, pir_lo, pii_lo))
+    # high bins k = h+1..n-1 read conj(V[n-k]): y = phr*Vr_u + phi*Vi_u.
+    # With Vr_u[i] = Vr[h-i], n-k = h-i gives start i = 2h-n+1: 1 for
+    # even n (skip the Nyquist copy), 0 for odd
+    Vr_u = (Vr_h[..., 1:][..., ::-1], Vr_l[..., 1:][..., ::-1])
+    Vi_u = (Vi_h[..., 1:][..., ::-1], Vi_l[..., 1:][..., ::-1])
+    phr_hi, phi_hi = ph_r[0][h + 1:], ph_r[1][h + 1:]
+    pir_hi, pii_hi = ph_i[0][h + 1:], ph_i[1][h + 1:]
+    take = n - (h + 1)
+    s0 = 2 * h - n + 1
+    y_hi = df_add(*df_mul(Vr_u[0][..., s0:s0 + take],
+                          Vr_u[1][..., s0:s0 + take], phr_hi, phi_hi),
+                  *df_mul(Vi_u[0][..., s0:s0 + take],
+                          Vi_u[1][..., s0:s0 + take], pir_hi, pii_hi))
+    return tuple(jnp.concatenate([lo, hi], axis=-1)
+                 for lo, hi in zip(y_lo, y_hi))
+
+
+def dct2_hp(x, norm: str = DEFAULT_NORM):
+    """DCT-II at double-float precision (host f64 in/out).
+
+    Scaling matches ops.dct.dct(type=2): the fftpack pairing puts the
+    2/N on this forward side (idct type=2 is the unscaled type-3 sum),
+    ortho is orthonormal.  Other norms raise (use the f32 path or CPU
+    x64)."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"dct2_hp: norm {norm!r} not supported")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    if n == 1:
+        y = x.copy()
+    else:
+        from .dct import _cexp_half
+        ph = _cexp_half(n, -1.0)
+        xh, xl = _quad_split(x)
+        dtype = xh.dtype
+        yh, yl = _dct2_hp_jit(xh, xl, _df_tab(ph.real, dtype),
+                              _df_tab(ph.imag, dtype), n)
+        y = df_merge_host(np.asarray(yh), np.asarray(yl))
+    if norm == "ortho":
+        y = y * np.sqrt(2.0 / n)
+        y[..., 0] = y[..., 0] / np.sqrt(2.0)
+        return y
+    return y * (2.0 / n)

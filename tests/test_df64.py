@@ -84,3 +84,38 @@ def test_fft_hp_matches_reference_golden(n):
 def test_fft_hp_large_prime_raises():
     with pytest.raises(ValueError, match="factor 37"):
         ct.fft_hp(np.ones(37 * 41))
+
+
+@pytest.mark.parametrize("n", [8, 15, 60])
+def test_rfft_hp_and_dct2_hp(n):
+    """Real FFT + DCT-II at double-float precision vs f64 oracles and
+    the x64 package paths."""
+    r = np.random.default_rng(n)
+    x = r.standard_normal((2, n))
+    got = ct.rfft_hp(x)
+    want = np.fft.rfft(x, axis=-1) / n         # fftpack forward norm
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 5e-14
+    assert np.abs(got[..., 0].imag).max() == 0.0      # exact DC contract
+    import scipy.fft as sf
+    d = ct.dct2_hp(x, norm="ortho")
+    dw = sf.dct(np.asarray(x, dtype=np.float64), 2, axis=-1, norm="ortho")
+    assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+    # fftpack pairing matches the package's own (x64) dct type=2
+    d2 = ct.dct2_hp(x)
+    dw2 = np.asarray(ct.dct(x, 2))
+    assert np.linalg.norm(d2 - dw2) / np.linalg.norm(dw2) < 1e-13
+    with pytest.raises(ValueError):
+        ct.dct2_hp(x, norm="backward")
+
+
+def test_rfft_hp_matches_reference_golden():
+    """rfft golden vectors are stored in the reference's packed compat
+    layout; compare the standard-layout bins that coincide: bin 0 and
+    (even n) Nyquist are real and equal, interior bins relate by the
+    2*conj packing (cfftpack.c:466-471 vs compat 2*conj) — here we use
+    the package's own x64 rfft as the f64 transfer standard instead,
+    which test_golden pins to the reference."""
+    x = GOLD["fft_in_60"].real
+    got = ct.rfft_hp(x)
+    want = np.asarray(ct.rfft(np.asarray(x, dtype=np.float64)))
+    np.testing.assert_allclose(got, want, atol=1e-14)
