@@ -32,7 +32,8 @@ from ..config import DEFAULT_NORM, check_norm, fwd_scale, inv_scale
 from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
                    df_merge_host)
 
-__all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "dct2_hp"]
+__all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "irfft_hp",
+           "dct2_hp", "idct2_hp"]
 
 _MAX_HP_FACTOR = 32
 
@@ -337,3 +338,103 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
         y[..., 0] = y[..., 0] / np.sqrt(2.0)
         return y
     return y * (2.0 / n)
+
+
+@partial(jax.jit, static_argnums=(4,))
+def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int):
+    """Unscaled c2r of a packed df spectrum (n//2+1 bins) -> df pair of
+    n * x (core.sirfft's contract, df throughout)."""
+    from .core import _irfft_merge_tables
+    if n % 2 == 0:
+        h = n // 2
+        ya = (yrh[..., :h], yrl[..., :h])
+        yb = (yih[..., :h], yil[..., :h])
+        ymr = (yrh[..., 1:][..., ::-1], yrl[..., 1:][..., ::-1])
+        ymi = (yih[..., 1:][..., ::-1], yil[..., 1:][..., ::-1])
+        a1, a2, a3, a4, b1, b2, b3, b4 = (
+            _df_tab(t, yrh.dtype) for t in _irfft_merge_tables(n))
+
+        def fma(t1, t2, t3, t4):
+            acc = df_mul(*ya, *t1)
+            acc = df_add(*acc, *df_mul(*yb, *t2))
+            acc = df_add(*acc, *df_mul(*ymr, *t3))
+            return df_add(*acc, *df_mul(*ymi, *t4))
+
+        Zr = fma(a1, a2, a3, a4)
+        Zi = fma(b1, b2, b3, b4)
+        zrh, zrl, zih, zil = sfft_hp(Zr[0], Zr[1], Zi[0], Zi[1], h, True)
+        out_h = jnp.stack([zrh, zih], axis=-1).reshape(
+            *zrh.shape[:-1], n)
+        out_l = jnp.stack([zrl, zil], axis=-1).reshape(
+            *zrl.shape[:-1], n)
+        return out_h, out_l
+    # odd n: rebuild the conjugate-symmetric full spectrum
+    trh = yrh[..., 1:][..., ::-1]
+    trl = yrl[..., 1:][..., ::-1]
+    tih = -yih[..., 1:][..., ::-1]
+    til = -yil[..., 1:][..., ::-1]
+    fr_h = jnp.concatenate([yrh, trh], axis=-1)
+    fr_l = jnp.concatenate([yrl, trl], axis=-1)
+    fi_h = jnp.concatenate([yih, tih], axis=-1)
+    fi_l = jnp.concatenate([yil, til], axis=-1)
+    zrh, zrl, _, _ = sfft_hp(fr_h, fr_l, fi_h, fi_l, n, True)
+    return zrh, zrl
+
+
+def irfft_hp(y, n: int, norm: str = DEFAULT_NORM):
+    """Inverse real FFT at double-float precision: packed (n//2+1)
+    complex128 spectrum in, host f64 real out."""
+    norm = check_norm(norm)
+    y = np.asarray(y, dtype=np.complex128)
+    if y.shape[-1] != n // 2 + 1:
+        raise ValueError(
+            f"irfft_hp: spectrum axis has {y.shape[-1]} bins, expected "
+            f"n//2+1 = {n // 2 + 1} for n={n}")
+    rh, rl = df_split_host(y.real)
+    ih, il = df_split_host(y.imag)
+    oh, ol = (np.asarray(a) for a in _sirfft_hp_jit(
+        jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
+        jnp.asarray(il), n))
+    x = df_merge_host(oh, ol)                 # n * x for unscaled input
+    s = inv_scale(norm, n) / n
+    return x * np.float64(n * s) if n * s != 1.0 else x
+
+
+def idct2_hp(y, norm: str = DEFAULT_NORM):
+    """Inverse of dct2_hp (the DCT-III side), double-float.
+
+    Makhoul inverse: V[k] = e^{i pi k/2n} (y[k] - i y[n-k]) rebuilds
+    the half-spectrum, an inverse real FFT recovers the permuted
+    sequence, and the even/odd de-permutation restores x."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"idct2_hp: norm {norm!r} not supported")
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    if n == 1:
+        return y / 2.0 if norm == "fftpack" else y.copy()
+    # undo the forward's scaling -> unscaled core-DCT-II coefficients
+    if norm == "ortho":
+        u = y / np.sqrt(2.0 / n)
+        u[..., 0] = y[..., 0] * np.sqrt(n)
+    else:
+        u = y * (n / 2.0)
+    h = n // 2
+    k = np.arange(1, h + 1)
+    c = np.cos(np.pi * k / (2 * n))
+    s = np.sin(np.pi * k / (2 * n))
+    yk = u[..., 1:h + 1]
+    ynk = u[..., n - h:][..., ::-1]
+    Vr = np.concatenate([u[..., :1], c * yk + s * ynk], axis=-1)
+    Vi = np.concatenate([np.zeros_like(u[..., :1]), s * yk - c * ynk],
+                        axis=-1)
+    if n % 2 == 0:
+        # k=h: y_{n-h} is y_h itself; the slice above already read it
+        pass
+    # irfft_hp(fftpack) of the UNSCALED spectrum returns n * v
+    v = irfft_hp(Vr + 1j * Vi, n, norm="fftpack") / n
+    x = np.empty_like(v)
+    nceil = (n + 1) // 2
+    x[..., 0::2] = v[..., :nceil]
+    x[..., 1::2] = v[..., nceil:][..., ::-1]
+    return x

@@ -119,3 +119,18 @@ def test_rfft_hp_matches_reference_golden():
     got = ct.rfft_hp(x)
     want = np.asarray(ct.rfft(np.asarray(x, dtype=np.float64)))
     np.testing.assert_allclose(got, want, atol=1e-14)
+
+
+@pytest.mark.parametrize("n", [8, 15, 60])
+@pytest.mark.parametrize("norm", ["fftpack", "ortho"])
+def test_hp_inverse_roundtrips(n, norm):
+    """irfft_hp / idct2_hp invert their forwards at f64 accuracy for
+    both supported norms."""
+    r = np.random.default_rng(n)
+    x = r.standard_normal((2, n))
+    rt = np.abs(ct.irfft_hp(ct.rfft_hp(x, norm), n, norm) - x).max()
+    assert rt < 1e-13
+    rtd = np.abs(ct.idct2_hp(ct.dct2_hp(x, norm), norm) - x).max()
+    assert rtd < 1e-13
+    with pytest.raises(ValueError):
+        ct.irfft_hp(np.zeros((2, n)), n + 2)
