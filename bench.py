@@ -112,6 +112,18 @@ def main():
     t_dct2 = _try(lambda: _per_iter(
         lambda s: ct.idct(ct.dct(s, 2), 2), v, lo=4, hi=204) / 2.0)
 
+    # double-float (f64-class accuracy) engine: one forward per iter
+    def _hp():
+        from cfftpack_tpu.ops.hp import sfft_hp
+
+        def body(s):
+            return sfft_hp(s[0], s[1], s[2], s[3], n, False)
+
+        quad = (xr, xi, jnp.zeros_like(xr), jnp.zeros_like(xi))
+        return _per_iter(body, quad, lo=4, hi=24)
+
+    t_hp = _try(_hp)
+
 
     result = {
         "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
@@ -133,6 +145,8 @@ def main():
                                                             2),
             "t_dct2_us": None if t_dct2 is None else round(t_dct2 * 1e6,
                                                             2),
+            "t_fft_hp_us": None if t_hp is None else round(t_hp * 1e6,
+                                                           2),
         },
     }
     print(json.dumps(result))
