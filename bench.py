@@ -112,14 +112,21 @@ def main():
     t_dct2 = _try(lambda: _per_iter(
         lambda s: ct.idct(ct.dct(s, 2), 2), v, lo=4, hi=204) / 2.0)
 
-    # double-float (f64-class accuracy) engine: one forward per iter
+    # double-float (f64-class accuracy) engine: one forward per iter.
+    # Quad order is (re_hi, re_lo, im_hi, im_lo); the exact power-of-two
+    # 1/sqrt(n) rescale keeps magnitudes constant across the chained
+    # unscaled forwards (|fft| ~ sqrt(n)|x|) without touching the df
+    # invariant.
     def _hp():
         from cfftpack_tpu.ops.hp import sfft_hp
+        dn = float(1.0 / np.sqrt(n))
+        assert dn == 2.0 ** round(np.log2(dn)), "need exact 2^-k rescale"
 
         def body(s):
-            return sfft_hp(s[0], s[1], s[2], s[3], n, False)
+            out = sfft_hp(s[0], s[1], s[2], s[3], n, False)
+            return tuple(a * np.float32(dn) for a in out)
 
-        quad = (xr, xi, jnp.zeros_like(xr), jnp.zeros_like(xi))
+        quad = (xr, jnp.zeros_like(xr), xi, jnp.zeros_like(xi))
         return _per_iter(body, quad, lo=4, hi=24)
 
     t_hp = _try(_hp)

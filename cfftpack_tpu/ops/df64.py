@@ -24,12 +24,11 @@ Correctness notes:
 from __future__ import annotations
 
 import numpy as np
-import jax.numpy as jnp
 
 _SPLIT = np.float32((1 << 12) + 1)     # Dekker splitter for f32 (p=24)
 
 __all__ = ["df_split_host", "df_merge_host", "df_add", "df_sub", "df_mul",
-           "df_neg", "df_scale"]
+           "df_neg"]
 
 
 def df_split_host(x) -> tuple[np.ndarray, np.ndarray]:
@@ -99,10 +98,3 @@ def df_mul(ahi, alo, bhi, blo):
     p, e = _two_prod(ahi, bhi)
     e = e + (ahi * blo + alo * bhi)
     return _quick_two_sum(p, e)
-
-
-def df_scale(ahi, alo, chi: float, clo: float = 0.0):
-    """Multiply by a HOST double-float constant (chi, clo)."""
-    c_hi = jnp.asarray(np.float32(chi), dtype=ahi.dtype)
-    c_lo = jnp.asarray(np.float32(clo), dtype=ahi.dtype)
-    return df_mul(ahi, alo, c_hi, c_lo)

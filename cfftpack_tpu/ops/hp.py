@@ -38,13 +38,6 @@ __all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "irfft_hp",
 _MAX_HP_FACTOR = 32
 
 
-def _const(v: float, like):
-    """Host f64 scalar -> df pair of device scalars."""
-    hi, lo = df_split_host(np.float64(v))
-    return (jnp.asarray(hi, dtype=like.dtype),
-            jnp.asarray(lo, dtype=like.dtype))
-
-
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
     t1 = df_mul(*ar, *br)
@@ -278,11 +271,17 @@ def rfft_hp(x, norm: str = DEFAULT_NORM):
     return y * np.float64(s) if s != 1.0 else y
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _dct2_hp_jit(xh, xl, ph_r, ph_i, n: int):
+@partial(jax.jit, static_argnums=(2,))
+def _dct2_hp_jit(xh, xl, n: int):
     """Unscaled DCT-II via the Makhoul permutation + half-spectrum
     phase reconstruction (the all-n path of dct._dct2_core, df
-    throughout)."""
+    throughout).  The phase tables are trace-time constants (n is
+    static), so repeated calls re-use the cached program with no
+    per-call host table build or transfer."""
+    from .dct import _cexp_half
+    ph = _cexp_half(n, -1.0)
+    ph_r = _df_tab(ph.real, xh.dtype)
+    ph_i = _df_tab(ph.imag, xh.dtype)
     vh = jnp.concatenate([xh[..., 0::2], xh[..., 1::2][..., ::-1]],
                          axis=-1)
     vl = jnp.concatenate([xl[..., 0::2], xl[..., 1::2][..., ::-1]],
@@ -326,12 +325,8 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
     if n == 1:
         y = x.copy()
     else:
-        from .dct import _cexp_half
-        ph = _cexp_half(n, -1.0)
         xh, xl = _quad_split(x)
-        dtype = xh.dtype
-        yh, yl = _dct2_hp_jit(xh, xl, _df_tab(ph.real, dtype),
-                              _df_tab(ph.imag, dtype), n)
+        yh, yl = _dct2_hp_jit(xh, xl, n)
         y = df_merge_host(np.asarray(yh), np.asarray(yl))
     if norm == "ortho":
         y = y * np.sqrt(2.0 / n)
@@ -363,11 +358,8 @@ def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int):
         Zr = fma(a1, a2, a3, a4)
         Zi = fma(b1, b2, b3, b4)
         zrh, zrl, zih, zil = sfft_hp(Zr[0], Zr[1], Zi[0], Zi[1], h, True)
-        out_h = jnp.stack([zrh, zih], axis=-1).reshape(
-            *zrh.shape[:-1], n)
-        out_l = jnp.stack([zrl, zil], axis=-1).reshape(
-            *zrl.shape[:-1], n)
-        return out_h, out_l
+        from .core import _interleave
+        return _interleave(zrh, zih), _interleave(zrl, zil)
     # odd n: rebuild the conjugate-symmetric full spectrum
     trh = yrh[..., 1:][..., ::-1]
     trl = yrl[..., 1:][..., ::-1]
@@ -395,9 +387,11 @@ def irfft_hp(y, n: int, norm: str = DEFAULT_NORM):
     oh, ol = (np.asarray(a) for a in _sirfft_hp_jit(
         jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
         jnp.asarray(il), n))
-    x = df_merge_host(oh, ol)                 # n * x for unscaled input
-    s = inv_scale(norm, n) / n
-    return x * np.float64(n * s) if n * s != 1.0 else x
+    x = df_merge_host(oh, ol)                 # n * x for an unscaled
+    # spectrum; the forward already carried fwd_scale, so inv_scale
+    # alone is the exact factor (fftpack 1, ortho 1/sqrt(n))
+    s = inv_scale(norm, n)
+    return x * np.float64(s) if s != 1.0 else x
 
 
 def idct2_hp(y, norm: str = DEFAULT_NORM):
