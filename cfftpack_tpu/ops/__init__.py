@@ -8,4 +8,5 @@ from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401
 from .shift import fftshift, ifftshift  # noqa: F401
 from .freq import fftfreq, rfftfreq, circular_convolve  # noqa: F401
 from .hp import (fft_hp, ifft_hp, sfft_hp,  # noqa: F401
-                 rfft_hp, irfft_hp, dct2_hp, idct2_hp)
+                 rfft_hp, irfft_hp, dct2_hp, idct2_hp,
+                 dst2_hp, idst2_hp)

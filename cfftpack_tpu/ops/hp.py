@@ -10,10 +10,9 @@ accuracy ~1e-14 relative — the reference's C-double tolerance class
 on TPU backends where native f64 is slow or hangs outright
 (BASELINE.md "f64 on-TPU" gap; core._warn_f64_tpu).
 
-Scope: any n whose factors are <= 32 after greedy {4,2,3,5,odd}
-factorization (plan.factor) — i.e. every fast size and all odd primes
-up to 31.  Larger primes would need a df64 Bluestein (padded
-convolution); they raise with a pointer to the CPU x64 path instead.
+Scope: ANY length — mixed-radix stockham for factors <= 32 (every
+fast size and odd primes to 31), df Bluestein chirp-z beyond, same as
+the f32 engine.
 
 Cost model: each df64 op is 6-28 f32 flops, so expect roughly 20-40x
 the f32 engine's time — this is the accuracy mode, not the throughput
@@ -33,7 +32,7 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
                    df_merge_host)
 
 __all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "irfft_hp",
-           "dct2_hp", "idct2_hp"]
+           "dct2_hp", "idct2_hp", "dst2_hp", "idst2_hp"]
 
 _MAX_HP_FACTOR = 32
 
@@ -158,15 +157,57 @@ def _sfft_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
     return _stockham_hp(Rh, Rl, Ih, Il, n, inverse)
 
 
+@partial(jax.jit, static_argnums=(4, 5))
+def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
+    """Bluestein chirp-z at double-float precision: df chirp premul,
+    two length-m df FFTs around the df kernel product, chirp postmul
+    (mirrors core._bluestein; m is 5-smooth so the stockham path
+    applies).  The 1/m convolution scale is a df-split constant.
+
+    CPU-backend caveat: XLA:CPU's fused elementwise codegen loses the
+    df compensation terms when a table operand is BROADCAST against
+    batched data in this program (measured 3.4e-8 instead of 2e-15;
+    the HLO keeps every op and barriers do not help, so it is a
+    backend emitter behavior, not an HLO rewrite).  The TPU backend is
+    exact with the same broadcast.  On CPU the tables are therefore
+    embedded pre-broadcast at the full batch shape — fine for
+    CPU-scale workloads; TPU keeps the memory-lean broadcast form."""
+    m, chirp, bq = plan.bluestein_tables(n)
+    if inverse:
+        chirp = np.conj(chirp)
+        bq = np.conj(bq)
+    dtype = Rh.dtype
+    lead = Rh.shape[:-1]
+    full = jax.default_backend() == "cpu" and len(lead) > 0
+
+    def tab(v):
+        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
+                       dtype)
+
+    cr = tab(chirp.real)
+    ci = tab(chirp.imag)
+    ar, ai = _cmul_df((Rh, Rl), (Ih, Il), cr, ci)
+    pad = [(0, 0)] * (Rh.ndim - 1) + [(0, m - n)]
+    ar = tuple(jnp.pad(a, pad) for a in ar)
+    ai = tuple(jnp.pad(a, pad) for a in ai)
+    A = _stockham_hp(ar[0], ar[1], ai[0], ai[1], m, False)
+    br = tab(bq.real)
+    bi = tab(bq.imag)
+    Cr, Ci = _cmul_df((A[0], A[1]), (A[2], A[3]), br, bi)
+    E = _stockham_hp(Cr[0], Cr[1], Ci[0], Ci[1], m, True)
+    sm = _df_tab(np.float64(1.0 / m), dtype)
+    Er = df_mul(E[0][..., :n], E[1][..., :n], *sm)
+    Ei = df_mul(E[2][..., :n], E[3][..., :n], *sm)
+    outr, outi = _cmul_df(Er, Ei, cr, ci)
+    return outr[0], outr[1], outi[0], outi[1]
+
+
 def sfft_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
     """Unscaled df64 DFT over the last axis of a df-complex quad
-    (re_hi, re_lo, im_hi, im_lo) — the on-device entry point."""
-    for p in plan.factor(n):
-        if p > _MAX_HP_FACTOR:
-            raise ValueError(
-                f"fft_hp: factor {p} of n={n} exceeds {_MAX_HP_FACTOR} "
-                "(df64 Bluestein not implemented — use a fast size, or "
-                "the CPU x64 path for large-prime lengths)")
+    (re_hi, re_lo, im_hi, im_lo) — the on-device entry point.  Any n:
+    mixed-radix stockham for factors <= 32, df Bluestein beyond."""
+    if plan.needs_bluestein(n):
+        return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse)
     return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse)
 
 
@@ -432,3 +473,25 @@ def idct2_hp(y, norm: str = DEFAULT_NORM):
     x[..., 0::2] = v[..., :nceil]
     x[..., 1::2] = v[..., nceil:][..., ::-1]
     return x
+
+
+def dst2_hp(x, norm: str = DEFAULT_NORM):
+    """DST-II at double-float precision via the exact flip/sign
+    identity dst2(x) = flip(dct2((-1)^j x)) (ops/dct._dst2_core);
+    the sign and reversal are exact, so accuracy equals dct2_hp.
+    Scaling matches ops.dct.dst(type=2)."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    y = dct2_hp(x * sgn, norm)[..., ::-1]
+    if norm == "ortho":
+        return y
+    return y
+
+
+def idst2_hp(y, norm: str = DEFAULT_NORM):
+    """Inverse of dst2_hp (the DST-III side)."""
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    return idct2_hp(y[..., ::-1], norm) * sgn

@@ -81,9 +81,9 @@ def test_fft_hp_matches_reference_golden(n):
                                atol=1e-13 * n)
 
 
-def test_fft_hp_large_prime_raises():
-    with pytest.raises(ValueError, match="factor 37"):
-        ct.fft_hp(np.ones(37 * 41))
+def test_fft_hp_empty_raises():
+    with pytest.raises(ValueError, match="empty"):
+        ct.fft_hp(np.ones(0))
 
 
 @pytest.mark.parametrize("n", [8, 15, 60])
@@ -134,3 +134,36 @@ def test_hp_inverse_roundtrips(n, norm):
     assert rtd < 1e-13
     with pytest.raises(ValueError):
         ct.irfft_hp(np.zeros((2, n)), n + 2)
+
+
+def test_fft_hp_bluestein_large_prime():
+    """n with a prime factor > 32 runs the df Bluestein chirp-z: any
+    length now matches the f32 engine's scope at f64-class accuracy.
+    (On the CPU backend the kernel tables embed pre-broadcast — the
+    XLA:CPU fused-elementwise emitter loses df compensation terms on
+    broadcast table operands; see _bluestein_hp_jit's docstring.)"""
+    r = np.random.default_rng(3)
+    for shape in ((37,), (2, 101)):
+        n = shape[-1]
+        x = r.standard_normal(shape) + 1j * r.standard_normal(shape)
+        got = ct.fft_hp(x)
+        want = np.fft.fft(x, axis=-1) / n
+        assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+        rt = np.abs(ct.ifft_hp(ct.fft_hp(x)) - x).max()
+        assert rt < 1e-12
+
+
+def test_dst2_hp_matches_oracles():
+    import scipy.fft as sf
+    r = np.random.default_rng(9)
+    for n in (8, 15):
+        v = r.standard_normal((2, n))
+        d = ct.dst2_hp(v, norm="ortho")
+        dw = sf.dst(np.asarray(v, np.float64), 2, axis=-1, norm="ortho")
+        assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+        d2 = ct.dst2_hp(v)
+        dw2 = np.asarray(ct.dst(v, 2))
+        assert np.linalg.norm(d2 - dw2) / np.linalg.norm(dw2) < 1e-13
+        for norm in ("fftpack", "ortho"):
+            rt = np.abs(ct.idst2_hp(ct.dst2_hp(v, norm), norm) - v).max()
+            assert rt < 1e-13
