@@ -14,9 +14,9 @@ Scope: ANY length — mixed-radix stockham for factors <= 32 (every
 fast size and odd primes to 31), df Bluestein chirp-z beyond, same as
 the f32 engine.
 
-Cost model: each df64 op is 6-28 f32 flops, so expect roughly 20-40x
-the f32 engine's time — this is the accuracy mode, not the throughput
-mode.
+Cost: measured 10.6x the f32 engine on v5e at (1024, 4096)
+(benchmarks/results/HP_FFT_r02.jsonl) — the accuracy mode, not the
+throughput mode.
 """
 from __future__ import annotations
 
