@@ -17,7 +17,8 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   rfilter_split,
                   gdft_split, igdft_split,
                   fftfreq, rfftfreq, circular_convolve,
-                  fft_hp, ifft_hp, sfft_hp, rfft_hp, irfft_hp,
+                  fft_hp, ifft_hp, fft2_hp, ifft2_hp, sfft_hp,
+                  rfft_hp, irfft_hp,
                   dct2_hp, idct2_hp, dst2_hp, idst2_hp)
 
 __version__ = "0.2.0"

@@ -7,6 +7,7 @@ from .dct import (dct, idct, dst, idst,  # noqa: F401
 from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401
 from .shift import fftshift, ifftshift  # noqa: F401
 from .freq import fftfreq, rfftfreq, circular_convolve  # noqa: F401
-from .hp import (fft_hp, ifft_hp, sfft_hp,  # noqa: F401
+from .hp import (fft_hp, ifft_hp, fft2_hp, ifft2_hp,  # noqa: F401
+                 sfft_hp,
                  rfft_hp, irfft_hp, dct2_hp, idct2_hp,
                  dst2_hp, idst2_hp)

@@ -31,8 +31,9 @@ from ..config import DEFAULT_NORM, check_norm, fwd_scale, inv_scale
 from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
                    df_merge_host)
 
-__all__ = ["fft_hp", "ifft_hp", "sfft_hp", "rfft_hp", "irfft_hp",
-           "dct2_hp", "idct2_hp", "dst2_hp", "idst2_hp"]
+__all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
+           "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
+           "idst2_hp"]
 
 _MAX_HP_FACTOR = 32
 
@@ -495,3 +496,17 @@ def idst2_hp(y, norm: str = DEFAULT_NORM):
     n = y.shape[-1]
     sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
     return idct2_hp(y[..., ::-1], norm) * sgn
+
+
+def fft2_hp(x, norm: str = DEFAULT_NORM):
+    """2-D FFT at double-float precision over the trailing two axes:
+    row-column composition of fft_hp (the reference 2-D driver order,
+    cfft2f_ fftpack.c:2363-2434)."""
+    y = fft_hp(x, norm)
+    y = np.swapaxes(fft_hp(np.swapaxes(y, -1, -2), norm), -1, -2)
+    return y
+
+
+def ifft2_hp(y, norm: str = DEFAULT_NORM):
+    x = ifft_hp(y, norm)
+    return np.swapaxes(ifft_hp(np.swapaxes(x, -1, -2), norm), -1, -2)

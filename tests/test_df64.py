@@ -170,3 +170,13 @@ def test_dst2_hp_matches_oracles():
         for norm in ("fftpack", "ortho"):
             rt = np.abs(ct.idst2_hp(ct.dst2_hp(v, norm), norm) - v).max()
             assert rt < 1e-13
+
+
+def test_fft2_hp_matches_numpy():
+    r = np.random.default_rng(5)
+    x = r.standard_normal((8, 15)) + 1j * r.standard_normal((8, 15))
+    got = ct.fft2_hp(x)
+    want = np.fft.fft2(x) / (8 * 15)           # fftpack norm both axes
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+    back = ct.ifft2_hp(ct.fft2_hp(x))
+    assert np.abs(back - x).max() < 1e-12
