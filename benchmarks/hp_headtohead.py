@@ -120,7 +120,10 @@ def main():
     want = np.fft.fft(x, axis=-1)
     acc_hp = float(np.linalg.norm(got - want) / np.linalg.norm(want))
 
-    dn = np.float32(1.0 / 32.0)            # exact 1/sqrt(n) rescale
+    # exact 2^-k rescale (1/sqrt(N)) keeps chained magnitudes bounded
+    dn_f = float(1.0 / np.sqrt(N))
+    assert dn_f == 2.0 ** round(np.log2(dn_f)), "need exact 2^-k rescale"
+    dn = np.float32(dn_f)
 
     def body(s):
         o = _sfft_hp_jit(s[0], s[1], s[2], s[3], N, False)
@@ -128,11 +131,14 @@ def main():
 
     t_hp = per_iter(body, quad, lo=4, hi=24) / BATCH
 
+    # f32 leg must evolve BOTH planes through the loop or XLA dead-code
+    # eliminates half the transform (a prior run published 0.0105
+    # us/transform — 3x above the HBM roofline, i.e. impossible)
     def body32(s):
-        return core.sfft(s[0], s[2], N, False)[0] * dn
+        rr, ii = core.sfft(s[0], s[2], N, False)
+        return (rr * dn, s[1], ii * dn, s[3])
 
-    t_f32 = per_iter(lambda s: (body32(s),) + s[1:], quad,
-                     lo=4, hi=54) / BATCH
+    t_f32 = per_iter(body32, quad, lo=4, hi=54) / BATCH
 
     row = {"metric": "fft_hp_vs_reference_f64", "n": N, "batch": BATCH,
            "tpu_hp_us_per_transform": round(t_hp * 1e6, 4),

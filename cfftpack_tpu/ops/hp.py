@@ -10,9 +10,9 @@ accuracy ~1e-14 relative — the reference's C-double tolerance class
 on TPU backends where native f64 is slow or hangs outright
 (BASELINE.md "f64 on-TPU" gap; core._warn_f64_tpu).
 
-Scope: ANY length — mixed-radix stockham for factors <= 32 (every
-fast size and odd primes to 31), df Bluestein chirp-z beyond, same as
-the f32 engine.
+Scope: ANY length — mixed-radix stockham for factors up to
+plan.MAX_DIRECT_RADIX (every fast size and odd primes to 31), df
+Bluestein chirp-z beyond, same as the f32 engine.
 
 Cost: measured 10.6x the f32 engine on v5e at (1024, 4096)
 (benchmarks/results/HP_FFT_r02.jsonl) — the accuracy mode, not the
@@ -34,9 +34,6 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
 __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
            "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
            "idst2_hp"]
-
-_MAX_HP_FACTOR = 32
-
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -158,8 +155,9 @@ def _sfft_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
     return _stockham_hp(Rh, Rl, Ih, Il, n, inverse)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
+                      cpu_tables: bool = False):
     """Bluestein chirp-z at double-float precision: df chirp premul,
     two length-m df FFTs around the df kernel product, chirp postmul
     (mirrors core._bluestein; m is 5-smooth so the stockham path
@@ -179,7 +177,7 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
         bq = np.conj(bq)
     dtype = Rh.dtype
     lead = Rh.shape[:-1]
-    full = jax.default_backend() == "cpu" and len(lead) > 0
+    full = cpu_tables and len(lead) > 0
 
     def tab(v):
         return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
@@ -203,12 +201,28 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
     return outr[0], outr[1], outi[0], outi[1]
 
 
+def _on_cpu(x) -> bool:
+    """True when this CONCRETE array will execute on a CPU device (the
+    df-broadcast hazard backend; see _bluestein_hp_jit).  Committed
+    device wins over the process default — a CPU-device_put array in a
+    TPU-default process still compiles for XLA:CPU."""
+    try:
+        devs = x.devices()
+        if devs:
+            return next(iter(devs)).platform == "cpu"
+    except Exception:
+        pass
+    return jax.default_backend() == "cpu"
+
+
 def sfft_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
     """Unscaled df64 DFT over the last axis of a df-complex quad
     (re_hi, re_lo, im_hi, im_lo) — the on-device entry point.  Any n:
-    mixed-radix stockham for factors <= 32, df Bluestein beyond."""
+    mixed-radix stockham for factors up to plan.MAX_DIRECT_RADIX, df
+    Bluestein beyond."""
     if plan.needs_bluestein(n):
-        return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse)
+        return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse,
+                                 _on_cpu(Rh))
     return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse)
 
 
@@ -484,10 +498,7 @@ def dst2_hp(x, norm: str = DEFAULT_NORM):
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
-    y = dct2_hp(x * sgn, norm)[..., ::-1]
-    if norm == "ortho":
-        return y
-    return y
+    return dct2_hp(x * sgn, norm)[..., ::-1]
 
 
 def idst2_hp(y, norm: str = DEFAULT_NORM):
@@ -498,15 +509,48 @@ def idst2_hp(y, norm: str = DEFAULT_NORM):
     return idct2_hp(y[..., ::-1], norm) * sgn
 
 
+@partial(jax.jit, static_argnums=(4, 5, 6, 7))
+def _sfft2_hp_jit(Rh, Rl, Ih, Il, n0: int, n1: int, inverse: bool,
+                  cpu_tables: bool):
+    """Row-column 2-D df64 DFT in ONE device program (the reference
+    2-D driver order, cfft2f_ fftpack.c:2363-2434) — the swapaxes stay
+    on-device; only one transfer each way (unlike composing two fft_hp
+    calls, which would merge/split and round-trip the quad twice)."""
+    def one_axis(quad, n):
+        if plan.needs_bluestein(n):
+            return _bluestein_hp_jit.__wrapped__(*quad, n, inverse,
+                                                 cpu_tables)
+        return _stockham_hp(*quad, n, inverse)
+
+    q = one_axis((Rh, Rl, Ih, Il), n1)
+    q = tuple(jnp.swapaxes(a, -1, -2) for a in q)
+    q = one_axis(q, n0)
+    return tuple(jnp.swapaxes(a, -1, -2) for a in q)
+
+
 def fft2_hp(x, norm: str = DEFAULT_NORM):
-    """2-D FFT at double-float precision over the trailing two axes:
-    row-column composition of fft_hp (the reference 2-D driver order,
-    cfft2f_ fftpack.c:2363-2434)."""
-    y = fft_hp(x, norm)
-    y = np.swapaxes(fft_hp(np.swapaxes(y, -1, -2), norm), -1, -2)
-    return y
+    """2-D FFT at double-float precision over the trailing two axes
+    (host f64 in/out; one on-device row-column program)."""
+    return _fft2_hp(x, False, check_norm(norm))
 
 
 def ifft2_hp(y, norm: str = DEFAULT_NORM):
-    x = ifft_hp(y, norm)
-    return np.swapaxes(ifft_hp(np.swapaxes(x, -1, -2), norm), -1, -2)
+    return _fft2_hp(y, True, check_norm(norm))
+
+
+def _fft2_hp(x, inverse: bool, norm: str):
+    x = np.asarray(x)
+    if x.ndim < 2 or x.shape[-1] == 0 or x.shape[-2] == 0:
+        raise ValueError("fft2_hp: need a non-empty trailing 2-D block")
+    n0, n1 = x.shape[-2], x.shape[-1]
+    Rh, Rl = df_split_host(np.asarray(x.real, dtype=np.float64))
+    Ih, Il = df_split_host(np.asarray(x.imag, dtype=np.float64))
+    q = tuple(jnp.asarray(v) for v in (Rh, Rl, Ih, Il))
+    out = _sfft2_hp_jit(*q, n0, n1, inverse, _on_cpu(q[0]))
+    rh, rl, ih, il = (np.asarray(a) for a in out)
+    y = df_merge_host(rh, rl) + 1j * df_merge_host(ih, il)
+    s = ((inv_scale(norm, n0) * inv_scale(norm, n1)) if inverse
+         else (fwd_scale(norm, n0) * fwd_scale(norm, n1)))
+    if s != 1.0:
+        y = y * np.float64(s)
+    return y
