@@ -33,7 +33,7 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
 
 __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
            "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
-           "idst2_hp"]
+           "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp"]
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -509,6 +509,16 @@ def idst2_hp(y, norm: str = DEFAULT_NORM):
     return idct2_hp(y[..., ::-1], norm) * sgn
 
 
+def _sfft_hp_body(Rh, Rl, Ih, Il, n: int, inverse: bool,
+                  cpu_tables: bool):
+    """Traceable any-length df64 DFT body (trace-time stockham /
+    Bluestein dispatch) for composition inside larger jits."""
+    if plan.needs_bluestein(n):
+        return _bluestein_hp_jit.__wrapped__(Rh, Rl, Ih, Il, n, inverse,
+                                             cpu_tables)
+    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse)
+
+
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
 def _sfft2_hp_jit(Rh, Rl, Ih, Il, n0: int, n1: int, inverse: bool,
                   cpu_tables: bool):
@@ -517,10 +527,7 @@ def _sfft2_hp_jit(Rh, Rl, Ih, Il, n0: int, n1: int, inverse: bool,
     on-device; only one transfer each way (unlike composing two fft_hp
     calls, which would merge/split and round-trip the quad twice)."""
     def one_axis(quad, n):
-        if plan.needs_bluestein(n):
-            return _bluestein_hp_jit.__wrapped__(*quad, n, inverse,
-                                                 cpu_tables)
-        return _stockham_hp(*quad, n, inverse)
+        return _sfft_hp_body(*quad, n, inverse, cpu_tables)
 
     q = one_axis((Rh, Rl, Ih, Il), n1)
     q = tuple(jnp.swapaxes(a, -1, -2) for a in q)
@@ -554,3 +561,108 @@ def _fft2_hp(x, inverse: bool, norm: str):
     if s != 1.0:
         y = y * np.float64(s)
     return y
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _dct4_hp_jit(xh, xl, n: int, cpu_tables: bool):
+    """Unscaled DCT-IV (y[k] = sum_j x[j] cos(pi(k+.5)(j+.5)/n)), df
+    throughout — mirrors dct._dct4_core: even n via the half-length
+    pack + quarter-phase rotations around one n/2 FFT; odd n via the
+    half-shift GDFT embedding of length 2n."""
+    dtype = xh.dtype
+    lead = xh.shape[:-1]
+
+    def tab(v):
+        # same XLA:CPU broadcast hazard as _bluestein_hp_jit: measured
+        # 1.9e-8 on the odd-n path with (m,)-shaped tables vs batch
+        full = cpu_tables and len(lead) > 0
+        return _df_tab(np.broadcast_to(v, lead + v.shape) if full
+                       else v, dtype)
+
+    if n % 2 == 0 and n >= 4:
+        h = n // 2
+        p = np.arange(h)
+        pre = np.exp(-1j * np.pi * p / n)
+        post = np.exp(-1j * np.pi * (2 * p + 0.5) / (2 * n))
+        prer = tab(pre.real)
+        prei = tab(pre.imag)
+        cr = (xh[..., 0::2], xl[..., 0::2])
+        ci = (xh[..., ::-1][..., 0::2], xl[..., ::-1][..., 0::2])
+        Wr, Wi = _cmul_df(cr, ci, prer, prei)
+        W = _sfft_hp_body(Wr[0], Wr[1], Wi[0], Wi[1], h, False,
+                          cpu_tables)
+        postr = tab(post.real)
+        posti = tab(post.imag)
+        Zr, Zi = _cmul_df((W[0], W[1]), (W[2], W[3]), postr, posti)
+        from .core import _interleave
+        yh = _interleave(Zr[0], -Zi[0][..., ::-1])
+        yl = _interleave(Zr[1], -Zi[1][..., ::-1])
+        return yh, yl
+    # odd n: U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)},
+    # real part (core.s_shifted_dft_real with a = b = 0.5)
+    m = 2 * n
+    j = np.arange(m)
+    pre = np.exp(-2j * np.pi * (j + 0.5) * 0.5 / m)
+    k = np.arange(n)
+    post = np.exp(-2j * np.pi * k * 0.5 / m)
+    pad = [(0, 0)] * (xh.ndim - 1) + [(0, m - n)]
+    xph = jnp.pad(xh, pad)
+    xpl = jnp.pad(xl, pad)
+    ar = df_mul(xph, xpl, *tab(pre.real))
+    ai = df_mul(xph, xpl, *tab(pre.imag))
+    A = _sfft_hp_body(ar[0], ar[1], ai[0], ai[1], m, False, cpu_tables)
+    Ar = (A[0][..., :n], A[1][..., :n])
+    Ai = (A[2][..., :n], A[3][..., :n])
+    t1 = df_mul(*Ar, *tab(post.real))
+    t2 = df_mul(*Ai, *tab(post.imag))
+    return df_sub(*t1, *t2)
+
+
+def dct4_hp(x, norm: str = DEFAULT_NORM):
+    """DCT-IV at double-float precision (host f64 in/out; any n).
+
+    Scaling matches ops.dct.dct(type=4): fftpack forward carries 2/n
+    (the inverse is the unscaled involution), ortho is sqrt(2/n)
+    (self-inverse)."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"dct4_hp: norm {norm!r} not supported")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    xh, xl = _quad_split(x)
+    yh, yl = _dct4_hp_jit(xh, xl, n, _on_cpu(xh))
+    y = df_merge_host(np.asarray(yh), np.asarray(yl))
+    if norm == "ortho":
+        return y * np.sqrt(2.0 / n)
+    return y * (2.0 / n)
+
+
+def idct4_hp(y, norm: str = DEFAULT_NORM):
+    """Inverse of dct4_hp (DCT-IV is an involution up to scale)."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"idct4_hp: norm {norm!r} not supported")
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    yh, yl = _quad_split(y)
+    xh, xl = _dct4_hp_jit(yh, yl, n, _on_cpu(yh))
+    x = df_merge_host(np.asarray(xh), np.asarray(xl))
+    if norm == "ortho":
+        return x * np.sqrt(2.0 / n)
+    # fftpack: y = (2/n) C x with C^2 = (n/2) I  =>  x = C y unscaled
+    return x
+
+
+def dst4_hp(x, norm: str = DEFAULT_NORM):
+    """DST-IV via the exact identity dst4(x) = (-1)^k dct4(flip(x))."""
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    return dct4_hp(x[..., ::-1], norm) * sgn
+
+
+def idst4_hp(y, norm: str = DEFAULT_NORM):
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    return idct4_hp(y * sgn, norm)[..., ::-1]

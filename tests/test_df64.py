@@ -180,3 +180,27 @@ def test_fft2_hp_matches_numpy():
     assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
     back = ct.ifft2_hp(ct.fft2_hp(x))
     assert np.abs(back - x).max() < 1e-12
+
+
+def test_dct4_dst4_hp_matches_oracles():
+    """DCT-IV/DST-IV at double-float precision: even n (half-length
+    pack) and odd n (half-shift GDFT embedding, which also exercises
+    the CPU pre-broadcast table hardening)."""
+    import scipy.fft as sf
+    r = np.random.default_rng(11)
+    for n in (8, 15):
+        v = r.standard_normal((2, n))
+        d = ct.dct4_hp(v, norm="ortho")
+        dw = sf.dct(np.asarray(v, np.float64), 4, axis=-1, norm="ortho")
+        assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+        s4 = ct.dst4_hp(v, norm="ortho")
+        sw = sf.dst(np.asarray(v, np.float64), 4, axis=-1, norm="ortho")
+        assert np.linalg.norm(s4 - sw) / np.linalg.norm(sw) < 5e-14
+        d2 = ct.dct4_hp(v)
+        dw2 = np.asarray(ct.dct(v, 4))
+        assert np.linalg.norm(d2 - dw2) / np.linalg.norm(dw2) < 1e-13
+        for norm in ("fftpack", "ortho"):
+            assert np.abs(ct.idct4_hp(ct.dct4_hp(v, norm), norm)
+                          - v).max() < 1e-13
+            assert np.abs(ct.idst4_hp(ct.dst4_hp(v, norm), norm)
+                          - v).max() < 1e-13
