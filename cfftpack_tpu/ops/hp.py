@@ -33,7 +33,8 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
 
 __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
            "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
-           "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp"]
+           "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp",
+           "dct1_hp", "idct1_hp", "dst1_hp", "idst1_hp"]
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -98,11 +99,17 @@ def _butterfly_hp(T, p: int, inverse: bool):
     if inverse:
         D = np.conj(D)
     dtype = T[0][0].dtype
+    mw = T[0][0].shape[-1]
 
     def col_const(v):
-        hi, lo = df_split_host(v)
-        return (jnp.asarray(hi, dtype=dtype)[:, None],
-                jnp.asarray(lo, dtype=dtype)[:, None])
+        # materialize the (p, m) column constant instead of a (p, 1)
+        # broadcast: broadcast df constants trigger both the XLA:CPU
+        # accuracy hazard (see _bluestein_hp_jit) and a pathological
+        # superlinear compile (minutes for a dense-17 stage inside the
+        # srfft even path; measured 2026-08-18)
+        hi, lo = df_split_host(np.broadcast_to(v[:, None], (p, mw)))
+        return (jnp.asarray(hi, dtype=dtype),
+                jnp.asarray(lo, dtype=dtype))
 
     acc = None
     for j in range(p):
@@ -271,19 +278,31 @@ def _quad_split(x_f64):
     return jnp.asarray(hi), jnp.asarray(lo)
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _srfft_hp_jit(xh, xl, n: int):
+def _dense_half(n: int) -> bool:
+    """True when n is even and n//2 has a prime factor > 5 — the
+    combination whose half-length srfft/sirfft wrapper (deinterleave /
+    merge FMA around a dense-radix sub-FFT) hits a pathological
+    superlinear XLA:CPU compile (minutes-to-never; the plain full-length
+    stockham at the same n compiles in seconds, and the TPU backend
+    compiles the wrapper fine).  On CPU such sizes take the full-length
+    path instead (2x compute — irrelevant for CPU-scale use)."""
+    return n % 2 == 0 and n >= 4 and max(plan.factor(n // 2)) > 5
+
+
+@partial(jax.jit, static_argnums=(2, 3))
+def _srfft_hp_jit(xh, xl, n: int, cpu: bool = False):
     """Unscaled r2c of a df real input -> df-complex quad of n//2+1
     bins.  Even n: half-length complex trick with the (Z, Z-mirror)
-    merge FMA of core.srfft, every table df-split; odd n: full-length
-    transform of (x, 0), truncated."""
+    merge FMA of core.srfft, every table df-split; odd n (and, on CPU,
+    even n with a dense half — see _dense_half): full-length transform
+    of (x, 0), truncated."""
     from .core import _rfft_merge_tables
     z = jnp.zeros_like(xh)
-    if n % 2 == 0:
+    if n % 2 == 0 and not (cpu and _dense_half(n)):
         h = n // 2
         quads = (xh[..., 0::2], xl[..., 0::2], xh[..., 1::2],
                  xl[..., 1::2])
-        Zr_h, Zr_l, Zi_h, Zi_l = sfft_hp(*quads, h, False)
+        Zr_h, Zr_l, Zi_h, Zi_l = _sfft_hp_body(*quads, h, False, cpu)
         tabs = [_df_tab(t[1:], xh.dtype) for t in _rfft_merge_tables(n)]
         a1, a2, a3, a4, b1, b2, b3, b4 = tabs
         Zrc = (Zr_h[..., 1:], Zr_l[..., 1:])
@@ -308,10 +327,14 @@ def _srfft_hp_jit(xh, xl, n: int):
                    for d, c, q in zip(dc, yr_c, nyq))
         yi = tuple(jnp.concatenate([z1, c, z1], axis=-1) for c in yi_c)
         return yr[0], yr[1], yi[0], yi[1]
-    Yh, Yl, Ih_, Il_ = sfft_hp(xh, xl, z, z, n, False)
+    Yh, Yl, Ih_, Il_ = _sfft_hp_body(xh, xl, z, z, n, False, cpu)
     k = n // 2 + 1
-    return (Yh[..., :k], Yl[..., :k],
-            Ih_[..., :k].at[..., 0].set(0.0), Il_[..., :k].at[..., 0].set(0.0))
+    ih = Ih_[..., :k].at[..., 0].set(0.0)
+    il = Il_[..., :k].at[..., 0].set(0.0)
+    if n % 2 == 0:         # packed-contract exact zero at Nyquist too
+        ih = ih.at[..., k - 1].set(0.0)
+        il = il.at[..., k - 1].set(0.0)
+    return Yh[..., :k], Yl[..., :k], ih, il
 
 
 def rfft_hp(x, norm: str = DEFAULT_NORM):
@@ -321,14 +344,15 @@ def rfft_hp(x, norm: str = DEFAULT_NORM):
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     xh, xl = _quad_split(x)
-    rh, rl, ih, il = (np.asarray(a) for a in _srfft_hp_jit(xh, xl, n))
+    rh, rl, ih, il = (np.asarray(a) for a in
+                      _srfft_hp_jit(xh, xl, n, _on_cpu(xh)))
     y = df_merge_host(rh, rl) + 1j * df_merge_host(ih, il)
     s = fwd_scale(norm, n)
     return y * np.float64(s) if s != 1.0 else y
 
 
-@partial(jax.jit, static_argnums=(2,))
-def _dct2_hp_jit(xh, xl, n: int):
+@partial(jax.jit, static_argnums=(2, 3))
+def _dct2_hp_jit(xh, xl, n: int, cpu: bool = False):
     """Unscaled DCT-II via the Makhoul permutation + half-spectrum
     phase reconstruction (the all-n path of dct._dct2_core, df
     throughout).  The phase tables are trace-time constants (n is
@@ -342,7 +366,8 @@ def _dct2_hp_jit(xh, xl, n: int):
                          axis=-1)
     vl = jnp.concatenate([xl[..., 0::2], xl[..., 1::2][..., ::-1]],
                          axis=-1)
-    Vr_h, Vr_l, Vi_h, Vi_l = _srfft_hp_jit(vh, vl, n)
+    Vr_h, Vr_l, Vi_h, Vi_l = _srfft_hp_jit.__wrapped__(vh, vl, n,
+                                                       cpu)
     h = n // 2
     phr_lo, phi_lo = ph_r[0][: h + 1], ph_r[1][: h + 1]
     pir_lo, pii_lo = ph_i[0][: h + 1], ph_i[1][: h + 1]
@@ -382,7 +407,7 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
         y = x.copy()
     else:
         xh, xl = _quad_split(x)
-        yh, yl = _dct2_hp_jit(xh, xl, n)
+        yh, yl = _dct2_hp_jit(xh, xl, n, _on_cpu(xh))
         y = df_merge_host(np.asarray(yh), np.asarray(yl))
     if norm == "ortho":
         y = y * np.sqrt(2.0 / n)
@@ -391,12 +416,13 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
     return y * (2.0 / n)
 
 
-@partial(jax.jit, static_argnums=(4,))
-def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int):
+@partial(jax.jit, static_argnums=(4, 5))
+def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int, cpu: bool = False):
     """Unscaled c2r of a packed df spectrum (n//2+1 bins) -> df pair of
-    n * x (core.sirfft's contract, df throughout)."""
+    n * x (core.sirfft's contract, df throughout).  CPU dense-half
+    sizes use the conjugate-extension full-length path (_dense_half)."""
     from .core import _irfft_merge_tables
-    if n % 2 == 0:
+    if n % 2 == 0 and not (cpu and _dense_half(n)):
         h = n // 2
         ya = (yrh[..., :h], yrl[..., :h])
         yb = (yih[..., :h], yil[..., :h])
@@ -413,19 +439,23 @@ def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int):
 
         Zr = fma(a1, a2, a3, a4)
         Zi = fma(b1, b2, b3, b4)
-        zrh, zrl, zih, zil = sfft_hp(Zr[0], Zr[1], Zi[0], Zi[1], h, True)
+        zrh, zrl, zih, zil = _sfft_hp_body(Zr[0], Zr[1], Zi[0], Zi[1],
+                                           h, True, cpu)
         from .core import _interleave
         return _interleave(zrh, zih), _interleave(zrl, zil)
-    # odd n: rebuild the conjugate-symmetric full spectrum
-    trh = yrh[..., 1:][..., ::-1]
-    trl = yrl[..., 1:][..., ::-1]
-    tih = -yih[..., 1:][..., ::-1]
-    til = -yil[..., 1:][..., ::-1]
+    # full-length: rebuild the conjugate-symmetric spectrum.  The
+    # mirror reads bins n-k for k = h+1..n-1: slice [1:h] for even n
+    # (skip DC and Nyquist), [1:h+1] for odd
+    stop = (n // 2) if n % 2 == 0 else (n // 2 + 1)
+    trh = yrh[..., 1:stop][..., ::-1]
+    trl = yrl[..., 1:stop][..., ::-1]
+    tih = -yih[..., 1:stop][..., ::-1]
+    til = -yil[..., 1:stop][..., ::-1]
     fr_h = jnp.concatenate([yrh, trh], axis=-1)
     fr_l = jnp.concatenate([yrl, trl], axis=-1)
     fi_h = jnp.concatenate([yih, tih], axis=-1)
     fi_l = jnp.concatenate([yil, til], axis=-1)
-    zrh, zrl, _, _ = sfft_hp(fr_h, fr_l, fi_h, fi_l, n, True)
+    zrh, zrl, _, _ = _sfft_hp_body(fr_h, fr_l, fi_h, fi_l, n, True, cpu)
     return zrh, zrl
 
 
@@ -440,9 +470,10 @@ def irfft_hp(y, n: int, norm: str = DEFAULT_NORM):
             f"n//2+1 = {n // 2 + 1} for n={n}")
     rh, rl = df_split_host(y.real)
     ih, il = df_split_host(y.imag)
+    rh_j = jnp.asarray(rh)
     oh, ol = (np.asarray(a) for a in _sirfft_hp_jit(
-        jnp.asarray(rh), jnp.asarray(rl), jnp.asarray(ih),
-        jnp.asarray(il), n))
+        rh_j, jnp.asarray(rl), jnp.asarray(ih), jnp.asarray(il), n,
+        _on_cpu(rh_j)))
     x = df_merge_host(oh, ol)                 # n * x for an unscaled
     # spectrum; the forward already carried fwd_scale, so inv_scale
     # alone is the exact factor (fftpack 1, ortho 1/sqrt(n))
@@ -666,3 +697,89 @@ def idst4_hp(y, norm: str = DEFAULT_NORM):
     n = y.shape[-1]
     sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
     return idct4_hp(y * sgn, norm)[..., ::-1]
+
+
+def _re_bins_hp(ext, m: int):
+    """Unscaled r2c of a host-f64 extension sequence -> host f64
+    (re, im) bins 0..m//2 via the df engine."""
+    xh, xl = _quad_split(ext)
+    rh, rl, ih, il = (np.asarray(a) for a in
+                      _srfft_hp_jit(xh, xl, m, _on_cpu(xh)))
+    return df_merge_host(rh, rl), df_merge_host(ih, il)
+
+
+def dct1_hp(x, norm: str = DEFAULT_NORM):
+    """DCT-I at double-float precision via the exact even extension
+    (dct._dct1_re; reference cost machinery cost1f_).  Scaling matches
+    ops.dct.dct(type=1) incl. the closed-form orthonormal DCT-I
+    (cfftpack_orthogonal_dct1, cfftpack.c:249-279)."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"dct1_hp: norm {norm!r} not supported")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    if n < 2:
+        raise ValueError("dct1_hp requires n >= 2")
+    ext = np.concatenate([x, x[..., 1:-1][..., ::-1]], axis=-1)
+    re, _ = _re_bins_hp(ext, 2 * (n - 1))
+    M = n - 1.0
+    w = np.ones(n)
+    if norm == "fftpack":
+        w[0] = w[-1] = 0.5
+        return re * (1.0 / M) * w
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    c = 1.0 / np.sqrt(2.0) - 0.5
+    y = 0.5 * re + c * (x[..., :1] + sgn * x[..., -1:])
+    w[0] = w[-1] = 1.0 / np.sqrt(2.0)
+    return y * np.sqrt(2.0 / M) * w
+
+
+def idct1_hp(y, norm: str = DEFAULT_NORM):
+    """Inverse of dct1_hp: the unscaled even-extension sum for the
+    fftpack pairing; the orthonormal DCT-I is self-inverse."""
+    norm = check_norm(norm)
+    if norm == "ortho":
+        return dct1_hp(y, "ortho")
+    if norm != "fftpack":
+        raise ValueError(f"idct1_hp: norm {norm!r} not supported")
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    if n < 2:
+        raise ValueError("idct1_hp requires n >= 2")
+    ext = np.concatenate([y, y[..., 1:-1][..., ::-1]], axis=-1)
+    re, _ = _re_bins_hp(ext, 2 * (n - 1))
+    sgn = np.where(np.arange(n) % 2 == 0, 1.0, -1.0)
+    return 0.5 * re + 0.5 * (y[..., :1] + sgn * y[..., -1:])
+
+
+def dst1_hp(x, norm: str = DEFAULT_NORM):
+    """DST-I at double-float precision via the exact odd extension
+    (dct._dst1_core; reference sint machinery sint1f_)."""
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"dst1_hp: norm {norm!r} not supported")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    z = np.zeros_like(x[..., :1])
+    ext = np.concatenate([z, x, z, -x[..., ::-1]], axis=-1)
+    _, im = _re_bins_hp(ext, 2 * (n + 1))
+    y = (-0.5) * im[..., 1: n + 1]
+    if norm == "fftpack":
+        return y * (2.0 / (n + 1))
+    return y * np.sqrt(2.0 / (n + 1))
+
+
+def idst1_hp(y, norm: str = DEFAULT_NORM):
+    """Inverse of dst1_hp (DST-I is an involution up to scale; the
+    orthonormal form is self-inverse)."""
+    norm = check_norm(norm)
+    if norm == "ortho":
+        return dst1_hp(y, "ortho")
+    if norm != "fftpack":
+        raise ValueError(f"idst1_hp: norm {norm!r} not supported")
+    y = np.asarray(y, dtype=np.float64)
+    n = y.shape[-1]
+    z = np.zeros_like(y[..., :1])
+    ext = np.concatenate([z, y, z, -y[..., ::-1]], axis=-1)
+    _, im = _re_bins_hp(ext, 2 * (n + 1))
+    return (-0.5) * im[..., 1: n + 1]

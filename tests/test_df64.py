@@ -204,3 +204,49 @@ def test_dct4_dst4_hp_matches_oracles():
                           - v).max() < 1e-13
             assert np.abs(ct.idst4_hp(ct.dst4_hp(v, norm), norm)
                           - v).max() < 1e-13
+
+
+def test_dct1_dst1_hp_matches_oracles():
+    """DCT-I/DST-I at double-float precision via exact even/odd
+    extensions, incl. the closed-form orthonormal DCT-I."""
+    import scipy.fft as sf
+    r = np.random.default_rng(13)
+    for n in (8, 15):
+        v = r.standard_normal((2, n))
+        d = ct.dct1_hp(v, norm="ortho")
+        dw = sf.dct(np.asarray(v, np.float64), 1, axis=-1, norm="ortho")
+        assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+        s1 = ct.dst1_hp(v, norm="ortho")
+        sw = sf.dst(np.asarray(v, np.float64), 1, axis=-1, norm="ortho")
+        assert np.linalg.norm(s1 - sw) / np.linalg.norm(sw) < 5e-14
+        # fftpack pairing vs the package's x64 paths + roundtrips
+        assert np.linalg.norm(ct.dct1_hp(v) - np.asarray(ct.dct(v, 1))) \
+            / np.linalg.norm(v) < 1e-13
+        assert np.linalg.norm(ct.dst1_hp(v) - np.asarray(ct.dst(v, 1))) \
+            / np.linalg.norm(v) < 1e-13
+        for norm in ("fftpack", "ortho"):
+            assert np.abs(ct.idct1_hp(ct.dct1_hp(v, norm), norm)
+                          - v).max() < 1e-13
+            assert np.abs(ct.idst1_hp(ct.dst1_hp(v, norm), norm)
+                          - v).max() < 1e-13
+
+
+def test_hp_dense_half_sizes_compile_and_match():
+    """Even n whose HALF has a prime factor > 5 (e.g. 28 -> 14 = 2*7)
+    hit a pathological XLA:CPU compile in the half-length srfft wrapper
+    (minutes-to-never); on CPU these sizes take the full-length path
+    (hp._dense_half).  Regression: must compile in seconds and stay at
+    f64 accuracy."""
+    n = 28
+    r = np.random.default_rng(n)
+    v = r.standard_normal((2, n))
+    got = ct.rfft_hp(v)
+    want = np.fft.rfft(v, axis=-1) / n
+    assert np.linalg.norm(got - want) / np.linalg.norm(want) < 1e-13
+    assert np.abs(got[..., 0].imag).max() == 0.0
+    assert np.abs(got[..., -1].imag).max() == 0.0   # Nyquist contract
+    assert np.abs(ct.irfft_hp(got, n) - v).max() < 1e-13
+    import scipy.fft as sf
+    d = ct.dct2_hp(v, norm="ortho")
+    dw = sf.dct(np.asarray(v, np.float64), 2, axis=-1, norm="ortho")
+    assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
