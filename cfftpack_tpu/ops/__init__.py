@@ -12,4 +12,5 @@ from .hp import (fft_hp, ifft_hp, fft2_hp, ifft2_hp,  # noqa: F401
                  rfft_hp, irfft_hp, dct2_hp, idct2_hp,
                  dst2_hp, idst2_hp, dct4_hp, idct4_hp,
                  dst4_hp, idst4_hp, dct1_hp, idct1_hp,
-                 dst1_hp, idst1_hp)
+                 dst1_hp, idst1_hp, dct_hp, idct_hp,
+                 dst_hp, idst_hp)

@@ -34,7 +34,8 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
 __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
            "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
            "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp",
-           "dct1_hp", "idct1_hp", "dst1_hp", "idst1_hp"]
+           "dct1_hp", "idct1_hp", "dst1_hp", "idst1_hp",
+           "dct_hp", "idct_hp", "dst_hp", "idst_hp"]
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -783,3 +784,151 @@ def idst1_hp(y, norm: str = DEFAULT_NORM):
     ext = np.concatenate([z, y, z, -y[..., ::-1]], axis=-1)
     _, im = _re_bins_hp(ext, 2 * (n + 1))
     return (-0.5) * im[..., 1: n + 1]
+
+
+# --------------------------------------- odd types V-VIII + generic API
+
+@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
+def _shifted_dft_real_hp_jit(xh, xl, n: int, m: int, a: float, b: float,
+                             cpu: bool):
+    """df version of core.s_shifted_dft_real (nout = n): U[k] =
+    sum_{j<n} x_j e^{-2i pi (j+a)(k+b)/m} for real x zero-padded to m —
+    the workhorse of the odd DCT/DST types V-VIII (Martucci
+    embeddings, reference cfftextra.c:481-958)."""
+    dtype = xh.dtype
+    lead = xh.shape[:-1]
+    full = cpu and len(lead) > 0
+
+    def tab(v):
+        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
+                       dtype)
+
+    j = np.arange(m)
+    pre = np.exp(-2j * np.pi * (j + a) * b / m)
+    k = np.arange(n)
+    post = np.exp(-2j * np.pi * k * a / m)
+    pad = [(0, 0)] * (xh.ndim - 1) + [(0, m - n)]
+    xph = jnp.pad(xh, pad)
+    xpl = jnp.pad(xl, pad)
+    ar = df_mul(xph, xpl, *tab(pre.real))
+    ai = df_mul(xph, xpl, *tab(pre.imag))
+    A = _sfft_hp_body(ar[0], ar[1], ai[0], ai[1], m, False, cpu)
+    Ar = (A[0][..., :n], A[1][..., :n])
+    Ai = (A[2][..., :n], A[3][..., :n])
+    pr = tab(post.real)
+    pi_ = tab(post.imag)
+    Ur = df_sub(*df_mul(*Ar, *pr), *df_mul(*Ai, *pi_))
+    Ui = df_add(*df_mul(*Ar, *pi_), *df_mul(*Ai, *pr))
+    return Ur + Ui
+
+
+def _u_hp(x, n: int, m: int, a: float, b: float):
+    """Host wrapper: (Re U, Im U) as f64 arrays."""
+    xh, xl = _quad_split(x)
+    out = _shifted_dft_real_hp_jit(xh, xl, n, m, float(a), float(b),
+                                   _on_cpu(xh))
+    rh, rl, ih, il = (np.asarray(v) for v in out)
+    return df_merge_host(rh, rl), df_merge_host(ih, il)
+
+
+def _alt_np(n: int):
+    return (-1.0) ** np.arange(n)
+
+
+def _odd_base_hp(kind: str, t: int, x, n: int):
+    """The exact linear map of oddtypes._base_* in host f64 around the
+    hp shifted DFT (weights and boundary corrections are exact)."""
+    if kind == "dct":
+        if t == 5:
+            return 2.0 * _u_hp(x, n, 2 * n - 1, 0.0, 0.0)[0] - x[..., :1]
+        if t == 6:
+            return (2.0 * _u_hp(x, n, 2 * n - 1, 0.5, 0.0)[0]
+                    - _alt_np(n) * x[..., -1:])
+        if t == 7:
+            return 2.0 * _u_hp(x, n, 2 * n - 1, 0.0, 0.5)[0] - x[..., :1]
+        return 2.0 * _u_hp(x, n, 2 * n + 1, 0.5, 0.5)[0]          # VIII
+    if t == 5:
+        return -2.0 * _u_hp(x, n, 2 * n + 1, 1.0, 1.0)[1]
+    if t == 6:
+        return -2.0 * _u_hp(x, n, 2 * n + 1, 0.5, 1.0)[1]
+    if t == 7:
+        return -2.0 * _u_hp(x, n, 2 * n + 1, 1.0, 0.5)[1]
+    w = np.ones(n)
+    w[-1] = 0.5                                   # dst8 embedding quirk
+    return -2.0 * _u_hp(x * w, n, 2 * n - 1, 0.5, 0.5)[1]
+
+
+# per-type M and which mode carries the 1/M scale, copied from
+# oddtypes.*_apply (golden-verified there): "fwd" = only mode>0 scales,
+# "both" = both non-ortho modes scale, "none" = neither
+_ODD_SCALE = {
+    ("dct", 5): ("fwd", -1), ("dct", 6): ("none", -1),
+    ("dct", 7): ("both", -1), ("dct", 8): ("fwd", +1),
+    ("dst", 5): ("fwd", +1), ("dst", 6): ("both", +1),
+    ("dst", 7): ("none", +1), ("dst", 8): ("fwd", -1),
+}
+
+
+def _odd_apply_hp(kind: str, t: int, x, n: int, mode: int):
+    y = _odd_base_hp(kind, t, x, n)
+    rule, pm = _ODD_SCALE[(kind, t)]
+    M = 2 * n + pm
+    if mode == 0:
+        return y * (1.0 / np.sqrt(M))
+    if rule == "both" or (rule == "fwd" and mode > 0):
+        return y * (1.0 / M)
+    return y
+
+
+_ODD_INV = {5: 5, 6: 7, 7: 6, 8: 8}
+
+
+def _trig_hp(kind: str, x, t: int, norm: str, inverse: bool):
+    norm = check_norm(norm)
+    if norm not in ("fftpack", "ortho"):
+        raise ValueError(f"{kind}_hp: norm {norm!r} not supported")
+    if t not in range(1, 9):
+        raise ValueError(f"{kind}_hp: type must be 1..8, got {t}")
+    x = np.asarray(x, dtype=np.float64)
+    n = x.shape[-1]
+    if t >= 5:
+        mode = 0 if norm == "ortho" else (1 if not inverse else -1)
+        tt = _ODD_INV[t] if inverse else t
+        return _odd_apply_hp(kind, tt, x, n, mode)
+    fwd = {("dct", 1): dct1_hp, ("dct", 2): dct2_hp, ("dct", 4): dct4_hp,
+           ("dst", 1): dst1_hp, ("dst", 2): dst2_hp, ("dst", 4): dst4_hp}
+    inv = {("dct", 1): idct1_hp, ("dct", 2): idct2_hp,
+           ("dct", 4): idct4_hp, ("dst", 1): idst1_hp,
+           ("dst", 2): idst2_hp, ("dst", 4): idst4_hp}
+    if t in (1, 2, 4):
+        return (inv if inverse else fwd)[(kind, t)](x, norm)
+    # type 3 = the other side of the type-2 pairing: forward type 3 ==
+    # inverse-of-type-2 up to the fftpack 2/n placement; ortho is the
+    # orthonormal transpose
+    if norm == "ortho":
+        return (fwd if inverse else inv)[(kind, 2)](x, "ortho")
+    if inverse:                      # unscaled type-2 sum
+        return fwd[(kind, 2)](x, "fftpack") * (n / 2.0)
+    return inv[(kind, 2)](x, "fftpack") * (2.0 / n)
+
+
+def dct_hp(x, type: int = 2, norm: str = DEFAULT_NORM):
+    """Forward DCT of ANY type 1..8 at double-float precision — the
+    complete reference trig-transform surface (cosq/cost/cfftextra
+    V-VIII) at C-double accuracy from f32 pairs.  Same type pairing and
+    scaling as ops.dct.dct."""
+    return _trig_hp("dct", x, int(type), norm, False)
+
+
+def idct_hp(y, type: int = 2, norm: str = DEFAULT_NORM):
+    """Inverse DCT of any type 1..8: idct_hp(dct_hp(x, t), t) == x."""
+    return _trig_hp("dct", y, int(type), norm, True)
+
+
+def dst_hp(x, type: int = 2, norm: str = DEFAULT_NORM):
+    """Forward DST of any type 1..8 at double-float precision."""
+    return _trig_hp("dst", x, int(type), norm, False)
+
+
+def idst_hp(y, type: int = 2, norm: str = DEFAULT_NORM):
+    return _trig_hp("dst", y, int(type), norm, True)

@@ -250,3 +250,23 @@ def test_hp_dense_half_sizes_compile_and_match():
     d = ct.dct2_hp(v, norm="ortho")
     dw = sf.dct(np.asarray(v, np.float64), 2, axis=-1, norm="ortho")
     assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+
+
+def test_generic_trig_hp_all_types():
+    """dct_hp/dst_hp cover every type 1..8 with the package's pairing;
+    types 1/2/4 are pinned elsewhere — here the odd Martucci types and
+    the type-3 side of the type-2 pairing, against the golden-pinned
+    x64 package paths."""
+    r = np.random.default_rng(21)
+    x = r.standard_normal((2, 8))
+    for t in (3, 5, 6, 7, 8):
+        for norm in ("fftpack", "ortho"):
+            for f, fi, pf in ((ct.dct_hp, ct.idct_hp, ct.dct),
+                              (ct.dst_hp, ct.idst_hp, ct.dst)):
+                y = f(x, t, norm)
+                w = np.asarray(pf(x, t, norm=norm))
+                assert np.linalg.norm(y - w) / np.linalg.norm(w) < 1e-12, \
+                    (t, norm)
+                assert np.abs(fi(y, t, norm) - x).max() < 1e-12, (t, norm)
+    with pytest.raises(ValueError):
+        ct.dct_hp(x, 9)
