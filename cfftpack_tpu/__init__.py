@@ -22,6 +22,7 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   dct2_hp, idct2_hp, dst2_hp, idst2_hp,
                   dct4_hp, idct4_hp, dst4_hp, idst4_hp,
                   dct1_hp, idct1_hp, dst1_hp, idst1_hp,
-                  dct_hp, idct_hp, dst_hp, idst_hp)
+                  dct_hp, idct_hp, dst_hp, idst_hp,
+                  gdft_hp, igdft_hp)
 
 __version__ = "0.2.0"

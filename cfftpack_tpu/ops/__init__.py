@@ -13,4 +13,4 @@ from .hp import (fft_hp, ifft_hp, fft2_hp, ifft2_hp,  # noqa: F401
                  dst2_hp, idst2_hp, dct4_hp, idct4_hp,
                  dst4_hp, idst4_hp, dct1_hp, idct1_hp,
                  dst1_hp, idst1_hp, dct_hp, idct_hp,
-                 dst_hp, idst_hp)
+                 dst_hp, idst_hp, gdft_hp, igdft_hp)

@@ -35,7 +35,7 @@ __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
            "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
            "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp",
            "dct1_hp", "idct1_hp", "dst1_hp", "idst1_hp",
-           "dct_hp", "idct_hp", "dst_hp", "idst_hp"]
+           "dct_hp", "idct_hp", "dst_hp", "idst_hp", "gdft_hp", "igdft_hp"]
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -932,3 +932,57 @@ def dst_hp(x, type: int = 2, norm: str = DEFAULT_NORM):
 
 def idst_hp(y, type: int = 2, norm: str = DEFAULT_NORM):
     return _trig_hp("dst", y, int(type), norm, True)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _gdft_hp_jit(Rh, Rl, Ih, Il, n: int, a: float, b: float,
+                 inverse: bool, cpu: bool):
+    """Generalized DFT (gdft._gdft_core's ramp composition) on a
+    df-complex quad — the last reference transform family at
+    double-float precision (cfftextra.c:397-479 analog, with the TRUE
+    inverse)."""
+    dtype = Rh.dtype
+    lead = Rh.shape[:-1]
+    full = cpu and len(lead) > 0
+
+    def tab(v):
+        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
+                       dtype)
+
+    j = np.arange(n)
+    pre = np.exp(-2j * np.pi * j * b / n)
+    post = np.exp(-2j * np.pi * (j * a + a * b) / n)
+    if inverse:
+        pre, post = np.conj(post), np.conj(pre)
+    re, im = _cmul_df((Rh, Rl), (Ih, Il),
+                      tab(pre.real), tab(pre.imag))
+    q = _sfft_hp_body(re[0], re[1], im[0], im[1], n, inverse, cpu)
+    re, im = _cmul_df((q[0], q[1]), (q[2], q[3]),
+                      tab(post.real), tab(post.imag))
+    return re + im
+
+
+def _gdft_hp(x, a: float, b: float, norm: str, inverse: bool):
+    norm = check_norm(norm)
+    x = np.asarray(x)
+    n = x.shape[-1]
+    Rh, Rl = df_split_host(np.asarray(x.real, dtype=np.float64))
+    Ih, Il = df_split_host(np.asarray(x.imag, dtype=np.float64))
+    q = tuple(jnp.asarray(v) for v in (Rh, Rl, Ih, Il))
+    out = _gdft_hp_jit(*q, n, float(a), float(b), inverse, _on_cpu(q[0]))
+    rh, rl, ih, il = (np.asarray(v) for v in out)
+    y = df_merge_host(rh, rl) + 1j * df_merge_host(ih, il)
+    s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
+    return y * np.float64(s) if s != 1.0 else y
+
+
+def gdft_hp(x, a: float = 0.0, b: float = 0.0, norm: str = DEFAULT_NORM):
+    """Generalized DFT at double-float precision (host complex128
+    in/out): y[k] = scale * sum_j x[j] e^{-2i pi (j+a)(k+b)/n}."""
+    return _gdft_hp(x, a, b, norm, False)
+
+
+def igdft_hp(y, a: float = 0.0, b: float = 0.0, norm: str = DEFAULT_NORM):
+    """True inverse of gdft_hp (the reference's gdft_inverse is broken
+    for a != 0 — see ops/gdft.py)."""
+    return _gdft_hp(y, a, b, norm, True)

@@ -270,3 +270,15 @@ def test_generic_trig_hp_all_types():
                 assert np.abs(fi(y, t, norm) - x).max() < 1e-12, (t, norm)
     with pytest.raises(ValueError):
         ct.dct_hp(x, 9)
+
+
+def test_gdft_hp_matches_and_inverts():
+    """GDFT at double-float precision — the last reference transform
+    family; with it every reference entry point has an hp counterpart."""
+    r = np.random.default_rng(23)
+    x = r.standard_normal((2, 15)) + 1j * r.standard_normal((2, 15))
+    for (a, b) in ((0.0, 0.0), (0.5, 0.25)):
+        y = ct.gdft_hp(x, a, b)
+        w = np.asarray(ct.gdft(x, a, b))
+        assert np.linalg.norm(y - w) / np.linalg.norm(w) < 1e-12
+        assert np.abs(ct.igdft_hp(y, a, b) - x).max() < 1e-12
