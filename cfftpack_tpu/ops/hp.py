@@ -62,7 +62,7 @@ def _cmul_j(a, sgn: float):
     return (im, df_neg(*re))
 
 
-def _butterfly_hp(T, p: int, inverse: bool):
+def _butterfly_hp(T, p: int, inverse: bool, cpu: bool = False):
     """Length-p DFT over axis -2 of df-complex T = (re_pair, im_pair);
     each pair element has shape (..., p, m).  Mirrors core._butterfly's
     radix algebra with exactly-split constants."""
@@ -103,12 +103,11 @@ def _butterfly_hp(T, p: int, inverse: bool):
     mw = T[0][0].shape[-1]
 
     def col_const(v):
-        # materialize the (p, m) column constant instead of a (p, 1)
-        # broadcast: broadcast df constants trigger both the XLA:CPU
-        # accuracy hazard (see _bluestein_hp_jit) and a pathological
-        # superlinear compile (minutes for a dense-17 stage inside the
-        # srfft even path; measured 2026-08-18)
-        hi, lo = df_split_host(np.broadcast_to(v[:, None], (p, mw)))
+        # CPU: materialize the (p, m) column constant (broadcast df
+        # constants hit the XLA:CPU hazards — see _bluestein_hp_jit);
+        # TPU: keep the memory-lean (p, 1) broadcast form
+        c = np.broadcast_to(v[:, None], (p, mw)) if cpu else v[:, None]
+        hi, lo = df_split_host(c)
         return (jnp.asarray(hi, dtype=dtype),
                 jnp.asarray(lo, dtype=dtype))
 
@@ -132,7 +131,8 @@ def _twiddle_tables_hp(tw, inverse: bool, dtype):
                  for v in (rh, rl, ih, il))
 
 
-def _stockham_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
+def _stockham_hp(Rh, Rl, Ih, Il, n: int, inverse: bool,
+                 cpu: bool = False):
     shape = Rh.shape
     arrs = [a.reshape(-1, 1, n) for a in (Rh, Rl, Ih, Il)]
     B = arrs[0].shape[0]
@@ -141,7 +141,7 @@ def _stockham_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
         mn = m // p
         view = [a.reshape(B, L, p, mn) for a in arrs]
         T = ((view[0], view[1]), (view[2], view[3]))
-        U = _butterfly_hp(T, p, inverse)
+        U = _butterfly_hp(T, p, inverse, cpu)
         if mn > 1:
             trh, trl, tih, til = _twiddle_tables_hp(tw, inverse,
                                                     arrs[0].dtype)
@@ -158,9 +158,10 @@ def _stockham_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
     return tuple(a.reshape(shape) for a in arrs)
 
 
-@partial(jax.jit, static_argnums=(4, 5))
-def _sfft_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool):
-    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse)
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _sfft_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
+                 cpu: bool = False):
+    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse, cpu)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6))
@@ -185,11 +186,9 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
         bq = np.conj(bq)
     dtype = Rh.dtype
     lead = Rh.shape[:-1]
-    full = cpu_tables and len(lead) > 0
 
     def tab(v):
-        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
-                       dtype)
+        return _df_tab_b(v, dtype, lead, cpu_tables)
 
     cr = tab(chirp.real)
     ci = tab(chirp.imag)
@@ -197,11 +196,11 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
     pad = [(0, 0)] * (Rh.ndim - 1) + [(0, m - n)]
     ar = tuple(jnp.pad(a, pad) for a in ar)
     ai = tuple(jnp.pad(a, pad) for a in ai)
-    A = _stockham_hp(ar[0], ar[1], ai[0], ai[1], m, False)
+    A = _stockham_hp(ar[0], ar[1], ai[0], ai[1], m, False, cpu_tables)
     br = tab(bq.real)
     bi = tab(bq.imag)
     Cr, Ci = _cmul_df((A[0], A[1]), (A[2], A[3]), br, bi)
-    E = _stockham_hp(Cr[0], Cr[1], Ci[0], Ci[1], m, True)
+    E = _stockham_hp(Cr[0], Cr[1], Ci[0], Ci[1], m, True, cpu_tables)
     sm = _df_tab(np.float64(1.0 / m), dtype)
     Er = df_mul(E[0][..., :n], E[1][..., :n], *sm)
     Ei = df_mul(E[2][..., :n], E[3][..., :n], *sm)
@@ -228,10 +227,10 @@ def sfft_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
     (re_hi, re_lo, im_hi, im_lo) — the on-device entry point.  Any n:
     mixed-radix stockham for factors up to plan.MAX_DIRECT_RADIX, df
     Bluestein beyond."""
+    cpu = _on_cpu(Rh)
     if plan.needs_bluestein(n):
-        return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse,
-                                 _on_cpu(Rh))
-    return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse)
+        return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
+    return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
 
 
 def _fft_hp(x, inverse: bool, norm: str):
@@ -267,6 +266,17 @@ def ifft_hp(y, norm: str = DEFAULT_NORM):
 
 # ------------------------------------------------- real + DCT hp paths
 
+def _df_tab_b(v, dtype, lead, cpu: bool):
+    """Host f64 table -> df pair of device constants, pre-broadcast to
+    the full batch shape on the CPU backend (the XLA:CPU fused-loop
+    emitter loses df compensation terms on broadcast table operands —
+    see _bluestein_hp_jit; the TPU backend keeps the memory-lean
+    broadcast form)."""
+    if cpu and len(lead) > 0:
+        v = np.broadcast_to(v, tuple(lead) + np.shape(v))
+    return _df_tab(v, dtype)
+
+
 def _df_tab(v, dtype):
     """Host f64 table -> df pair of device constants."""
     hi, lo = df_split_host(np.asarray(v, dtype=np.float64))
@@ -288,6 +298,15 @@ def _dense_half(n: int) -> bool:
     compiles the wrapper fine).  On CPU such sizes take the full-length
     path instead (2x compute — irrelevant for CPU-scale use)."""
     return n % 2 == 0 and n >= 4 and max(plan.factor(n // 2)) > 5
+
+
+def _cpu_dense(n: int) -> bool:
+    """n (or its half) has a prime factor > 5 — the sizes whose
+    permutation-wrapper hp programs (Makhoul / half-length pack around
+    a dense-radix sub-FFT) compile pathologically on XLA:CPU.  Such
+    sizes route to the pad+ramp+flat-FFT embedding formulation on CPU,
+    which compiles in seconds for the same lengths."""
+    return n > 1 and (max(plan.factor(n)) > 5 or _dense_half(n))
 
 
 @partial(jax.jit, static_argnums=(2, 3))
@@ -408,8 +427,15 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
         y = x.copy()
     else:
         xh, xl = _quad_split(x)
-        yh, yl = _dct2_hp_jit(xh, xl, n, _on_cpu(xh))
-        y = df_merge_host(np.asarray(yh), np.asarray(yl))
+        cpu = _on_cpu(xh)
+        if cpu and _cpu_dense(n):
+            # Makhoul wrapper around a dense-radix FFT compiles
+            # pathologically on XLA:CPU; the equivalent half-shift
+            # embedding (DCT-II[k] = Re U(a=.5, b=0, m=2n)) does not
+            y, _ = _u_hp(x, n, 2 * n, 0.5, 0.0)
+        else:
+            yh, yl = _dct2_hp_jit(xh, xl, n, cpu)
+            y = df_merge_host(np.asarray(yh), np.asarray(yl))
     if norm == "ortho":
         y = y * np.sqrt(2.0 / n)
         y[..., 0] = y[..., 0] / np.sqrt(2.0)
@@ -501,6 +527,13 @@ def idct2_hp(y, norm: str = DEFAULT_NORM):
         u[..., 0] = y[..., 0] * np.sqrt(n)
     else:
         u = y * (n / 2.0)
+    if jax.default_backend() == "cpu" and _cpu_dense(n):
+        # CPU dense sizes: DCT-III via the b=1/2 output-shift embedding
+        # (input DC halved makes the plain sum the exact core-III)
+        uhat = u.copy()
+        uhat[..., 0] *= 0.5
+        re, _ = _u_hp(uhat, n, 2 * n, 0.0, 0.5)
+        return re * (2.0 / n)
     h = n // 2
     k = np.arange(1, h + 1)
     c = np.cos(np.pi * k / (2 * n))
@@ -548,7 +581,7 @@ def _sfft_hp_body(Rh, Rl, Ih, Il, n: int, inverse: bool,
     if plan.needs_bluestein(n):
         return _bluestein_hp_jit.__wrapped__(Rh, Rl, Ih, Il, n, inverse,
                                              cpu_tables)
-    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse)
+    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse, cpu_tables)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))
@@ -605,13 +638,9 @@ def _dct4_hp_jit(xh, xl, n: int, cpu_tables: bool):
     lead = xh.shape[:-1]
 
     def tab(v):
-        # same XLA:CPU broadcast hazard as _bluestein_hp_jit: measured
-        # 1.9e-8 on the odd-n path with (m,)-shaped tables vs batch
-        full = cpu_tables and len(lead) > 0
-        return _df_tab(np.broadcast_to(v, lead + v.shape) if full
-                       else v, dtype)
+        return _df_tab_b(v, dtype, lead, cpu_tables)
 
-    if n % 2 == 0 and n >= 4:
+    if n % 2 == 0 and n >= 4 and not (cpu_tables and _dense_half(n)):
         h = n // 2
         p = np.arange(h)
         pre = np.exp(-1j * np.pi * p / n)
@@ -630,24 +659,10 @@ def _dct4_hp_jit(xh, xl, n: int, cpu_tables: bool):
         yh = _interleave(Zr[0], -Zi[0][..., ::-1])
         yl = _interleave(Zr[1], -Zi[1][..., ::-1])
         return yh, yl
-    # odd n: U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)},
-    # real part (core.s_shifted_dft_real with a = b = 0.5)
-    m = 2 * n
-    j = np.arange(m)
-    pre = np.exp(-2j * np.pi * (j + 0.5) * 0.5 / m)
-    k = np.arange(n)
-    post = np.exp(-2j * np.pi * k * 0.5 / m)
-    pad = [(0, 0)] * (xh.ndim - 1) + [(0, m - n)]
-    xph = jnp.pad(xh, pad)
-    xpl = jnp.pad(xl, pad)
-    ar = df_mul(xph, xpl, *tab(pre.real))
-    ai = df_mul(xph, xpl, *tab(pre.imag))
-    A = _sfft_hp_body(ar[0], ar[1], ai[0], ai[1], m, False, cpu_tables)
-    Ar = (A[0][..., :n], A[1][..., :n])
-    Ai = (A[2][..., :n], A[3][..., :n])
-    t1 = df_mul(*Ar, *tab(post.real))
-    t2 = df_mul(*Ai, *tab(post.imag))
-    return df_sub(*t1, *t2)
+    # odd n (and CPU dense-half even n): the length-2n half-shift
+    # embedding, real part — works for every n
+    out = _shifted_real_hp_body(xh, xl, n, 2 * n, 0.5, 0.5, cpu_tables)
+    return out[0], out[1]
 
 
 def dct4_hp(x, norm: str = DEFAULT_NORM):
@@ -788,20 +803,19 @@ def idst1_hp(y, norm: str = DEFAULT_NORM):
 
 # --------------------------------------- odd types V-VIII + generic API
 
-@partial(jax.jit, static_argnums=(2, 3, 4, 5, 6))
-def _shifted_dft_real_hp_jit(xh, xl, n: int, m: int, a: float, b: float,
-                             cpu: bool):
-    """df version of core.s_shifted_dft_real (nout = n): U[k] =
-    sum_{j<n} x_j e^{-2i pi (j+a)(k+b)/m} for real x zero-padded to m —
-    the workhorse of the odd DCT/DST types V-VIII (Martucci
-    embeddings, reference cfftextra.c:481-958)."""
+def _shifted_real_hp_body(xh, xl, n: int, m: int, a: float, b: float,
+                          cpu: bool):
+    """Traceable df shifted real DFT (core.s_shifted_dft_real, nout=n):
+    U[k] = sum_{j<n} x_j e^{-2i pi (j+a)(k+b)/m}, x zero-padded to m —
+    the workhorse of the odd types V-VIII (Martucci embeddings,
+    reference cfftextra.c:481-958) and the CPU-safe route for the
+    _cpu_dense sizes of DCT-II/III/IV (pad + ramps + flat FFT: no
+    permutation wrapper, so no XLA:CPU compile pathology)."""
     dtype = xh.dtype
     lead = xh.shape[:-1]
-    full = cpu and len(lead) > 0
 
     def tab(v):
-        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
-                       dtype)
+        return _df_tab_b(v, dtype, lead, cpu)
 
     j = np.arange(m)
     pre = np.exp(-2j * np.pi * (j + a) * b / m)
@@ -820,6 +834,10 @@ def _shifted_dft_real_hp_jit(xh, xl, n: int, m: int, a: float, b: float,
     Ur = df_sub(*df_mul(*Ar, *pr), *df_mul(*Ai, *pi_))
     Ui = df_add(*df_mul(*Ar, *pi_), *df_mul(*Ai, *pr))
     return Ur + Ui
+
+
+_shifted_dft_real_hp_jit = partial(
+    jax.jit, static_argnums=(2, 3, 4, 5, 6))(_shifted_real_hp_body)
 
 
 def _u_hp(x, n: int, m: int, a: float, b: float):
@@ -943,11 +961,9 @@ def _gdft_hp_jit(Rh, Rl, Ih, Il, n: int, a: float, b: float,
     inverse)."""
     dtype = Rh.dtype
     lead = Rh.shape[:-1]
-    full = cpu and len(lead) > 0
 
     def tab(v):
-        return _df_tab(np.broadcast_to(v, lead + v.shape) if full else v,
-                       dtype)
+        return _df_tab_b(v, dtype, lead, cpu)
 
     j = np.arange(n)
     pre = np.exp(-2j * np.pi * j * b / n)

@@ -250,6 +250,17 @@ def test_hp_dense_half_sizes_compile_and_match():
     d = ct.dct2_hp(v, norm="ortho")
     dw = sf.dct(np.asarray(v, np.float64), 2, axis=-1, norm="ortho")
     assert np.linalg.norm(d - dw) / np.linalg.norm(dw) < 5e-14
+    # n=44 (half 22=2*11) drives the _cpu_dense embedding routes of
+    # DCT-II/III/IV that replaced two confirmed XLA:CPU compile hangs
+    v2 = r.standard_normal((2, 44))
+    d2 = ct.dct2_hp(v2, norm="ortho")
+    w2 = sf.dct(np.asarray(v2, np.float64), 2, axis=-1, norm="ortho")
+    assert np.linalg.norm(d2 - w2) / np.linalg.norm(w2) < 5e-14
+    assert np.abs(ct.idct2_hp(d2, "ortho") - v2).max() < 1e-13
+    d4 = ct.dct4_hp(v2, norm="ortho")
+    w4 = sf.dct(np.asarray(v2, np.float64), 4, axis=-1, norm="ortho")
+    assert np.linalg.norm(d4 - w4) / np.linalg.norm(w4) < 5e-14
+    assert np.abs(ct.idct4_hp(d4, "ortho") - v2).max() < 1e-13
 
 
 def test_generic_trig_hp_all_types():
