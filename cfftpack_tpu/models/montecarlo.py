@@ -208,8 +208,8 @@ def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
                                     bool(is_call), dtype.name, *tables))
     nd = mesh.size
     if samples % nd:
-        raise ValueError(f"samples={samples} must divide the mesh "
-                         f"device count {nd}")
+        raise ValueError(f"samples={samples} must be divisible by the "
+                         f"mesh device count {nd}")
     return float(_vg_mc_sharded(jnp.int32(seed), mesh, int(n),
                                 int(samples) // nd, bool(is_call),
                                 dtype.name, *tables))
@@ -271,6 +271,11 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
         raise ValueError("steps must be even (DCT-IV path construction)")
     start = samples * run_index + 1
     last = start + samples - 1
+    if last >= 1 << 31:
+        raise ValueError(
+            f"asian_option_qmc_device: last Halton index {last} >= 2**31 "
+            "overflows the device int32 index arithmetic (lower samples "
+            "or run_index)")
     nd = max(1, int(np.floor(np.log2(max(last, 1)))) + 1)
     nd = (nd + 7) // 8 * 8
     dtype = jnp.dtype(dtype)
@@ -282,8 +287,8 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
                                         last >= 1 << 24))
     ndev = mesh.size
     if samples % ndev:
-        raise ValueError(f"samples={samples} must divide the mesh "
-                         f"device count {ndev}")
+        raise ValueError(f"samples={samples} must be divisible by the "
+                         f"mesh device count {ndev}")
     return float(_asian_qmc_sharded(jnp.int32(start), mesh,
                                     int(samples) // ndev, int(steps), nd,
                                     bool(is_call), dtype.name,

@@ -323,7 +323,8 @@ def _srfft_hp_jit(xh, xl, n: int, cpu: bool = False):
         quads = (xh[..., 0::2], xl[..., 0::2], xh[..., 1::2],
                  xl[..., 1::2])
         Zr_h, Zr_l, Zi_h, Zi_l = _sfft_hp_body(*quads, h, False, cpu)
-        tabs = [_df_tab(t[1:], xh.dtype) for t in _rfft_merge_tables(n)]
+        tabs = [_df_tab_b(t[1:], xh.dtype, xh.shape[:-1], cpu)
+                for t in _rfft_merge_tables(n)]
         a1, a2, a3, a4, b1, b2, b3, b4 = tabs
         Zrc = (Zr_h[..., 1:], Zr_l[..., 1:])
         Zic = (Zi_h[..., 1:], Zi_l[..., 1:])
@@ -380,17 +381,21 @@ def _dct2_hp_jit(xh, xl, n: int, cpu: bool = False):
     per-call host table build or transfer."""
     from .dct import _cexp_half
     ph = _cexp_half(n, -1.0)
-    ph_r = _df_tab(ph.real, xh.dtype)
-    ph_i = _df_tab(ph.imag, xh.dtype)
+    h = n // 2
+    lead = xh.shape[:-1]
+    # host-slice the phase table BEFORE the df split so the CPU-backend
+    # pre-broadcast (_df_tab_b, the fused-emitter hazard workaround)
+    # broadcasts each slice to its batched operand shape
+    phr_lo, phi_lo = _df_tab_b(ph.real[: h + 1], xh.dtype, lead, cpu)
+    pir_lo, pii_lo = _df_tab_b(ph.imag[: h + 1], xh.dtype, lead, cpu)
+    phr_hi, phi_hi = _df_tab_b(ph.real[h + 1:], xh.dtype, lead, cpu)
+    pir_hi, pii_hi = _df_tab_b(ph.imag[h + 1:], xh.dtype, lead, cpu)
     vh = jnp.concatenate([xh[..., 0::2], xh[..., 1::2][..., ::-1]],
                          axis=-1)
     vl = jnp.concatenate([xl[..., 0::2], xl[..., 1::2][..., ::-1]],
                          axis=-1)
     Vr_h, Vr_l, Vi_h, Vi_l = _srfft_hp_jit.__wrapped__(vh, vl, n,
                                                        cpu)
-    h = n // 2
-    phr_lo, phi_lo = ph_r[0][: h + 1], ph_r[1][: h + 1]
-    pir_lo, pii_lo = ph_i[0][: h + 1], ph_i[1][: h + 1]
     # y_low = Re(ph * V) = phr*Vr - phi*Vi
     y_lo = df_sub(*df_mul(Vr_h, Vr_l, phr_lo, phi_lo),
                   *df_mul(Vi_h, Vi_l, pir_lo, pii_lo))
@@ -399,8 +404,6 @@ def _dct2_hp_jit(xh, xl, n: int, cpu: bool = False):
     # even n (skip the Nyquist copy), 0 for odd
     Vr_u = (Vr_h[..., 1:][..., ::-1], Vr_l[..., 1:][..., ::-1])
     Vi_u = (Vi_h[..., 1:][..., ::-1], Vi_l[..., 1:][..., ::-1])
-    phr_hi, phi_hi = ph_r[0][h + 1:], ph_r[1][h + 1:]
-    pir_hi, pii_hi = ph_i[0][h + 1:], ph_i[1][h + 1:]
     take = n - (h + 1)
     s0 = 2 * h - n + 1
     y_hi = df_add(*df_mul(Vr_u[0][..., s0:s0 + take],
@@ -456,7 +459,8 @@ def _sirfft_hp_jit(yrh, yrl, yih, yil, n: int, cpu: bool = False):
         ymr = (yrh[..., 1:][..., ::-1], yrl[..., 1:][..., ::-1])
         ymi = (yih[..., 1:][..., ::-1], yil[..., 1:][..., ::-1])
         a1, a2, a3, a4, b1, b2, b3, b4 = (
-            _df_tab(t, yrh.dtype) for t in _irfft_merge_tables(n))
+            _df_tab_b(t, yrh.dtype, yrh.shape[:-1], cpu)
+            for t in _irfft_merge_tables(n))
 
         def fma(t1, t2, t3, t4):
             acc = df_mul(*ya, *t1)

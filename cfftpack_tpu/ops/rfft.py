@@ -145,13 +145,27 @@ def irfft2(y, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
 
 # ------------------------------------------------- split (re, im) API
 
+def _as_real_plane(x, name: str):
+    """Coerce a REAL-plane operand to a >=32-bit float dtype.
+
+    Complex dtypes are rejected outright: promote_types(complex, f32)
+    stays complex, so a complex array would silently flow into the
+    real engine and produce wrong results (advisor finding, round 2).
+    """
+    if jnp.issubdtype(x.dtype, jnp.complexfloating):
+        raise TypeError(
+            f"{name}: real input required, got {x.dtype} — take .real "
+            "explicitly or use the complex fft API")
+    if not jnp.issubdtype(x.dtype, jnp.floating):
+        return x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    if jnp.finfo(x.dtype).bits < 32:      # bf16/f16 twiddles lose ~1e-2
+        return x.astype(jnp.float32)
+    return x
+
+
 def _rfft_split_impl(x, axis: int, norm: str):
     from . import core
-    x = jnp.asarray(x)
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-    elif jnp.finfo(x.dtype).bits < 32:    # bf16/f16 twiddles lose ~1e-2
-        x = x.astype(jnp.float32)
+    x = _as_real_plane(jnp.asarray(x), "rfft_split")
     n = x.shape[axis]
     axis = axis % x.ndim
     move = axis != x.ndim - 1
@@ -174,12 +188,9 @@ def _irfft_split_impl(yr, yi, n: int, axis: int, norm: str):
     yi = jnp.asarray(yi)
     if yr.shape != yi.shape:
         raise ValueError("re/im shapes differ")
-    if not jnp.issubdtype(yr.dtype, jnp.floating):
-        yr = yr.astype(jnp.promote_types(yr.dtype, jnp.float32))
-    elif jnp.finfo(yr.dtype).bits < 32:   # bf16/f16 twiddles lose ~1e-2
-        yr = yr.astype(jnp.float32)
+    yr = _as_real_plane(yr, "irfft_split")
     if yi.dtype != yr.dtype:
-        yi = yi.astype(yr.dtype)
+        yi = _as_real_plane(yi, "irfft_split").astype(yr.dtype)
     if yr.shape[axis] != n // 2 + 1:
         raise ValueError(
             f"irfft_split: spectrum axis has {yr.shape[axis]} bins, "
@@ -230,13 +241,9 @@ def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
     blackscholes.cpp:30-80).
     """
     from . import core
-    x = jnp.asarray(x)
-    fr = jnp.asarray(fr)
-    fi = jnp.asarray(fi)
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
-    fr = fr.astype(x.dtype)
-    fi = fi.astype(x.dtype)
+    x = _as_real_plane(jnp.asarray(x), "rfilter_split")
+    fr = _as_real_plane(jnp.asarray(fr), "rfilter_split").astype(x.dtype)
+    fi = _as_real_plane(jnp.asarray(fi), "rfilter_split").astype(x.dtype)
     n = x.shape[axis]
     if fr.shape[-1] != n // 2 + 1 or fi.shape[-1] != n // 2 + 1:
         raise ValueError(

@@ -205,9 +205,8 @@ def _irfft2_core(yr, yi, n0, n1, hp, axis_name):
 
 
 def _rfft2_sharded_pair(x, mesh, axis_name, norm, batch_axis_name=None):
-    x = jnp.asarray(x)
-    if not jnp.issubdtype(x.dtype, jnp.floating):
-        x = x.astype(jnp.promote_types(x.dtype, jnp.float32))
+    from ..ops.rfft import _as_real_plane
+    x = _as_real_plane(jnp.asarray(x), "rfft2_sharded")
     n0, n1 = x.shape[-2], x.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d:

@@ -207,6 +207,11 @@ def halton_batch(start_index: int, count: int, dimensions: int,
     if count <= 0:
         return jnp.zeros((0, dimensions), dtype=dtype)
     last = int(start_index) + int(count) - 1
+    if last >= 1 << 31:
+        raise ValueError(
+            f"halton_batch: last index {last} >= 2**31 overflows the "
+            "device int32 index arithmetic (split the sweep into "
+            "blocks below 2**31)")
     nd = max(1, int(np.floor(np.log2(max(last, 1)))) + 1)
     nd = (nd + 7) // 8 * 8
     exact = last >= 1 << 24   # f32 reciprocal path is exact below 2^24

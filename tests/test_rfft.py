@@ -195,3 +195,15 @@ def test_interleave_idioms_agree(idiom):
 def jnp_array(a):
     import jax.numpy as jnp
     return jnp.asarray(a)
+
+
+def test_real_entry_points_reject_complex():
+    """Advisor round-2: complex input silently flowed through the real
+    engine (promote_types(complex, f32) stays complex) — now a TypeError."""
+    z = np.ones((4, 8), dtype=np.complex64)
+    with pytest.raises(TypeError, match="real input required"):
+        ct.rfft_split(z)
+    with pytest.raises(TypeError, match="real input required"):
+        ct.irfft_split(z[..., :5], np.zeros((4, 5), np.float32), n=8)
+    with pytest.raises(TypeError, match="real input required"):
+        ct.rfilter_split(z, np.ones(5, np.float32), np.zeros(5, np.float32))

@@ -230,3 +230,14 @@ def test_debug_hooks():
     finally:
         enable_nan_checks(False)
     assert not jax.config.jax_debug_nans
+
+
+def test_halton_batch_int32_overflow_guard():
+    """Advisor round-2: indices past 2**31 wrapped silently in int32."""
+    import pytest
+    from cfftpack_tpu.utils.qmc import halton_batch
+    with pytest.raises(ValueError, match="2\\*\\*31"):
+        halton_batch(2**31 - 4, 8, 4)
+    from cfftpack_tpu.models.montecarlo import asian_option_qmc_device
+    with pytest.raises(ValueError, match="2\\*\\*31"):
+        asian_option_qmc_device(samples=2048, run_index=2**31 // 2048)
