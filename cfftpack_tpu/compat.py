@@ -48,6 +48,25 @@ __all__ = [
 ]
 
 
+def _host_or_device(data):
+    """hp-routed f64 inputs stay HOST numpy arrays (jnp.asarray would
+    silently truncate them to f32 before the ops-level routing,
+    config.hp_route, could see the dtype); everything else goes to the
+    device as before."""
+    from .config import hp_route
+    if hp_route(data):
+        return np.asarray(data)
+    return jnp.asarray(data)
+
+
+def _tab(w, like):
+    """Constant table matched to the data's world: host f64 numpy for
+    hp-routed arrays, device array in the data's dtype otherwise."""
+    if isinstance(like, np.ndarray):
+        return w
+    return jnp.asarray(w, dtype=like.dtype)
+
+
 class _Plan:
     """Base plan object (the fft_t analog, cfftintern.h:31-38)."""
 
@@ -64,7 +83,7 @@ class _Plan:
         pass
 
     def _check(self, data, length=None):
-        data = jnp.asarray(data)
+        data = _host_or_device(data)
         want = self.n if length is None else length
         if data.shape[-1] != want:
             raise ValueError(
@@ -137,7 +156,7 @@ class FFT2Plan(_Plan):
         self.m = int(m)
 
     def _check2(self, data):
-        data = jnp.asarray(data)
+        data = _host_or_device(data)
         if data.shape[-2:] != (self.m, self.l):
             raise ValueError(
                 f"fft2: expected trailing shape ({self.m},{self.l}), got "
@@ -175,7 +194,8 @@ class RFFTPlan(_Plan):
         hi = n // 2 + (0 if n % 2 == 0 else 1)
         w = np.ones(n // 2 + 1)
         w[1:hi] = 2.0
-        packed = jnp.conj(y) * jnp.asarray(w, dtype=y.dtype)
+        xp = np if isinstance(y, np.ndarray) else jnp
+        packed = xp.conj(y) * _tab(w, y)
         # DC (and even-n Nyquist) are real; conj is identity there
         return packed
 
@@ -184,14 +204,15 @@ class RFFTPlan(_Plan):
         hi = n // 2 + (0 if n % 2 == 0 else 1)
         w = np.ones(n // 2 + 1)
         w[1:hi] = 0.5
-        return jnp.conj(spec * jnp.asarray(w, dtype=spec.dtype))
+        xp = np if isinstance(spec, np.ndarray) else jnp
+        return xp.conj(spec * _tab(w, spec))
 
     def forward(self, inp):
         inp = self._check(inp)
         return self._pack(ops.rfft(inp))
 
     def inverse(self, spec):
-        spec = jnp.asarray(spec)
+        spec = _host_or_device(spec)
         if spec.shape[-1] != self.n // 2 + 1:
             raise ValueError(
                 f"rfft_inverse: expected {self.n // 2 + 1} bins, got "
@@ -278,7 +299,7 @@ class DSTPlan(_Real1D):
         n = self.n
         w = np.full(n, np.sqrt(0.5 / n))
         w[0] = np.sqrt(1.0 / n)
-        xs = data * jnp.asarray(w, dtype=data.dtype)
+        xs = data * _tab(w, data)
         return ops.dst(xs, 3) * float(n)
 
     def inverse(self, data):
@@ -288,7 +309,7 @@ class DSTPlan(_Real1D):
             n = self.n
             w = np.full(n, np.sqrt(2.0 / n))
             w[0] = np.sqrt(1.0 / n)
-            y = y * jnp.asarray(w, dtype=y.dtype)
+            y = y * _tab(w, y)
         return y
 
 
@@ -355,7 +376,7 @@ class DCT2DPlan(_Plan):
         self.N = int(N)
 
     def _check2(self, data):
-        data = jnp.asarray(data)
+        data = _host_or_device(data)
         if data.shape[-2:] != (self.N, self.M):
             raise ValueError(
                 f"dct_2d: expected trailing shape ({self.N},{self.M}), got "

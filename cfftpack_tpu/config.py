@@ -53,6 +53,64 @@ def inv_scale(norm: str, n: int) -> float:
     return 1.0 / n  # backward
 
 
+# ---------------------------------------------------------- f64 policy
+#
+# The reference's precision contract is the C double everywhere
+# (fft_real_t, /root/reference/cfftpack/fftpack.h:59-64).  TPUs have no
+# usable native f64 (most generations emulate it slowly; the axon v5e
+# backend hangs outright — placement succeeds, execution never
+# completes), so double-precision inputs to the MAIN dtype API are
+# routed to the double-float engine (ops/hp.py: f64-class accuracy from
+# paired f32, ~5e-15 rel) whenever the default backend is a TPU.
+# Routed calls take host f64 arrays and RETURN host numpy f64 arrays
+# (the hp engine splits/merges the df pairs at the host boundary).
+
+_F64_POLICY = "hp"          # "hp" = route f64 to the df engine on TPU;
+                            # "native" = legacy warn-and-try behavior
+
+_F64_DTYPES = (np.dtype(np.float64), np.dtype(np.complex128))
+
+
+def set_f64_policy(policy: str) -> None:
+    """Escape hatch for the automatic f64->hp routing on TPU backends:
+    ``"hp"`` (default) routes, ``"native"`` restores the round-1
+    warn-and-attempt behavior (hangs on backends with no f64)."""
+    global _F64_POLICY
+    if policy not in ("hp", "native"):
+        raise ValueError(f"f64 policy must be 'hp' or 'native', got "
+                         f"{policy!r}")
+    _F64_POLICY = policy
+
+
+def f64_policy() -> str:
+    return _F64_POLICY
+
+
+def _default_backend() -> str:
+    import jax
+    return jax.default_backend()
+
+
+def hp_route(*arrays) -> bool:
+    """True when these inputs should run on the double-float engine:
+    any f64/complex128 operand while the default backend is a TPU.
+
+    Checked BEFORE jnp.asarray in the public dtype-API wrappers —
+    with x64 disabled jnp would silently truncate the doubles to f32
+    long before the engine saw them."""
+    if _F64_POLICY != "hp":
+        return False
+    hit = False
+    for x in arrays:
+        dt = getattr(x, "dtype", None)
+        if dt is None:
+            dt = np.asarray(x).dtype
+        if np.dtype(dt) in _F64_DTYPES:
+            hit = True
+            break
+    return hit and _default_backend() == "tpu"
+
+
 def real_dtype_of(dtype) -> jnp.dtype:
     """Real dtype underlying a complex (or real) dtype."""
     d = jnp.dtype(dtype)

@@ -16,10 +16,25 @@ from __future__ import annotations
 
 from functools import partial
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
-                      inv_scale)
+                      hp_route, inv_scale)
+
+
+def _hp_last_axis(fn, x, axis: int, **kw):
+    """Run a last-axis hp-engine transform over ``axis`` of host f64
+    data (the automatic f64->df64 route on TPU backends; numpy in/out)."""
+    x = np.asarray(x)
+    ax = axis % x.ndim
+    if ax != x.ndim - 1:
+        x = np.moveaxis(x, ax, -1)
+    y = fn(x, **kw)
+    if ax != y.ndim - 1:
+        y = np.moveaxis(y, -1, ax)
+    return y
 
 __all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
            "fft_split", "ifft_split"]
@@ -72,12 +87,24 @@ def fft(x, axis: int = -1, norm: str = DEFAULT_NORM):
 
     Default norm="fftpack" scales by 1/N (reference convention,
     cfftpack.h:100-102).  Any length is supported in O(n log n).
+
+    Double input (f64/complex128) on a TPU backend routes to the
+    double-float engine (ops/hp.py) and returns host numpy complex128
+    — the reference's "it's just double" contract (fftpack.h:59-64)
+    on hardware with no native f64.  config.set_f64_policy("native")
+    restores the old warn-and-attempt behavior.
     """
+    if hp_route(x):
+        from .hp import fft_hp
+        return _hp_last_axis(fft_hp, x, axis, norm=norm)
     return _fft_jit(x, axis, check_norm(norm), False)
 
 
 def ifft(x, axis: int = -1, norm: str = DEFAULT_NORM):
     """Inverse complex FFT along ``axis`` (unscaled under norm="fftpack")."""
+    if hp_route(x):
+        from .hp import ifft_hp
+        return _hp_last_axis(ifft_hp, x, axis, norm=norm)
     return _fft_jit(x, axis, check_norm(norm), True)
 
 
@@ -92,6 +119,19 @@ _fftn_jit = jax.jit(_fftn_core, static_argnums=(1, 2, 3))
 
 
 def _fftn_impl(x, axes, norm: str, inverse: bool):
+    if hp_route(x):
+        from .hp import fft2_hp, fft_hp, ifft2_hp, ifft_hp
+        x = np.asarray(x)
+        if axes is None:
+            axes = tuple(range(x.ndim))
+        axes = tuple(int(a) % x.ndim for a in axes)
+        if x.ndim >= 2 and axes == (x.ndim - 2, x.ndim - 1):
+            return (ifft2_hp if inverse else fft2_hp)(x, norm=norm)
+        y = x
+        for ax in axes:
+            y = _hp_last_axis(ifft_hp if inverse else fft_hp, y, ax,
+                              norm=norm)
+        return y
     x = jnp.asarray(x)
     if axes is None:
         axes = tuple(range(x.ndim))

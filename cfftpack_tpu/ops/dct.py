@@ -32,8 +32,8 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..config import DEFAULT_NORM, check_norm
-from .cfft import _apply_axis
+from ..config import DEFAULT_NORM, check_norm, hp_route
+from .cfft import _apply_axis, _hp_last_axis
 
 __all__ = ["dct", "idct", "dst", "idst", "dctn", "idctn", "dstn", "idstn"]
 
@@ -468,32 +468,58 @@ _dct_jit = jax.jit(_dct_impl, static_argnums=(1, 2, 3, 4))
 _dst_jit = jax.jit(_dst_impl, static_argnums=(1, 2, 3, 4))
 
 
+def _hp_trig_route(kind: str, x, t: int, axis: int, norm: str,
+                   inverse: bool):
+    """f64 input on a TPU backend -> the double-float engine (host f64
+    out); see ops.cfft.fft and config.hp_route."""
+    from . import hp
+    fn = {("dct", False): hp.dct_hp, ("dct", True): hp.idct_hp,
+          ("dst", False): hp.dst_hp, ("dst", True): hp.idst_hp}[
+              (kind, inverse)]
+    return _hp_last_axis(fn, x, axis, type=t, norm=norm)
+
+
 def dct(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
-    """Forward DCT of the given type (1-4) along ``axis``.
+    """Forward DCT of the given type (1-8) along ``axis``.
 
     norm="fftpack" follows the reference pairing: the type-3 transform
     carries the full 2/N scaling (it is FFTPACK's "forward" DCT,
     cfftpack.h:143-158) and types 2 (and the I/IV involutions' inverse
     direction) are unscaled; ``idct`` undoes ``dct`` for every norm.
+
+    f64 input on a TPU backend routes to the double-float engine
+    (numpy out) — see ops.cfft.fft and config.hp_route.
     """
+    if hp_route(x):
+        return _hp_trig_route("dct", x, _check_type(type), axis,
+                              norm, False)
     return _dct_jit(_prep_real(x), _check_type(type), axis,
                     check_norm(norm), False)
 
 
 def idct(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
     """Inverse DCT: idct(dct(x, type=t), type=t) == x for every norm."""
+    if hp_route(x):
+        return _hp_trig_route("dct", x, _check_type(type), axis,
+                              norm, True)
     return _dct_jit(_prep_real(x), _check_type(type), axis,
                     check_norm(norm), True)
 
 
 def dst(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
-    """Forward DST of the given type (1-4) along ``axis``."""
+    """Forward DST of the given type (1-8) along ``axis``."""
+    if hp_route(x):
+        return _hp_trig_route("dst", x, _check_type(type), axis,
+                              norm, False)
     return _dst_jit(_prep_real(x), _check_type(type), axis,
                     check_norm(norm), False)
 
 
 def idst(x, type: int = 2, axis: int = -1, norm: str = DEFAULT_NORM):
     """Inverse DST: idst(dst(x, type=t), type=t) == x for every norm."""
+    if hp_route(x):
+        return _hp_trig_route("dst", x, _check_type(type), axis,
+                              norm, True)
     return _dst_jit(_prep_real(x), _check_type(type), axis,
                     check_norm(norm), True)
 
@@ -525,25 +551,40 @@ def dctn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
     ``dctn(x, 3, axes=(-2, -1))`` reproduces the reference's
     ``dct_2d_forward`` (batched cosqmf row+column passes,
     cfftextra.c:306-395); ``idctn(x, 3, ...)`` its inverse.
+
+    f64 input on a TPU backend routes to the double-float engine
+    (numpy out) — see ops.cfft.fft and config.hp_route.
     """
+    if hp_route(x):
+        from .hp import dctn_hp
+        return dctn_hp(x, type=_check_type(type), axes=axes, norm=norm)
     x = _prep_real(x)
     return _dctn_jit(x, _check_type(type), _norm_axes(x, axes),
                      check_norm(norm), False)
 
 
 def idctn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    if hp_route(x):
+        from .hp import idctn_hp
+        return idctn_hp(x, type=_check_type(type), axes=axes, norm=norm)
     x = _prep_real(x)
     return _dctn_jit(x, _check_type(type), _norm_axes(x, axes),
                      check_norm(norm), True)
 
 
 def dstn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    if hp_route(x):
+        from .hp import dstn_hp
+        return dstn_hp(x, type=_check_type(type), axes=axes, norm=norm)
     x = _prep_real(x)
     return _dstn_jit(x, _check_type(type), _norm_axes(x, axes),
                      check_norm(norm), False)
 
 
 def idstn(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    if hp_route(x):
+        from .hp import idstn_hp
+        return idstn_hp(x, type=_check_type(type), axes=axes, norm=norm)
     x = _prep_real(x)
     return _dstn_jit(x, _check_type(type), _norm_axes(x, axes),
                      check_norm(norm), True)

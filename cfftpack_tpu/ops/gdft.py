@@ -26,8 +26,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale, \
-    inv_scale
-from .cfft import _apply_axis, _dft_last_axis
+    hp_route, inv_scale
+from .cfft import _apply_axis, _dft_last_axis, _hp_last_axis
 
 __all__ = ["gdft", "igdft", "gdft_split", "igdft_split"]
 
@@ -69,7 +69,15 @@ _gdft_jit = jax.jit(_gdft_impl, static_argnums=(1, 2, 3, 4, 5))
 
 def gdft(x, a: float = 0.0, b: float = 0.0, axis: int = -1,
          norm: str = DEFAULT_NORM):
-    """Generalized DFT: y[k] = scale * sum_j x[j] e^{-2i pi (j+a)(k+b)/n}."""
+    """Generalized DFT: y[k] = scale * sum_j x[j] e^{-2i pi (j+a)(k+b)/n}.
+
+    f64/complex128 input on a TPU backend routes to the double-float
+    engine (numpy out) — see ops.cfft.fft and config.hp_route.
+    """
+    if hp_route(x):
+        from .hp import gdft_hp
+        return _hp_last_axis(gdft_hp, x, axis, a=float(a), b=float(b),
+                             norm=norm)
     return _gdft_jit(x, float(a), float(b), axis, check_norm(norm), False)
 
 
@@ -77,6 +85,10 @@ def igdft(x, a: float = 0.0, b: float = 0.0, axis: int = -1,
           norm: str = DEFAULT_NORM):
     """True inverse of :func:`gdft` (unlike the reference's, see module
     docstring): igdft(gdft(x, a, b), a, b) == x for every norm."""
+    if hp_route(x):
+        from .hp import igdft_hp
+        return _hp_last_axis(igdft_hp, x, axis, a=float(a), b=float(b),
+                             norm=norm)
     return _gdft_jit(x, float(a), float(b), axis, check_norm(norm), True)
 
 

@@ -32,10 +32,13 @@ from .df64 import (df_add, df_sub, df_mul, df_neg, df_split_host,
                    df_merge_host)
 
 __all__ = ["fft_hp", "ifft_hp", "fft2_hp", "ifft2_hp", "sfft_hp",
-           "rfft_hp", "irfft_hp", "dct2_hp", "idct2_hp", "dst2_hp",
+           "rfft_hp", "irfft_hp", "rfft2_hp", "irfft2_hp",
+           "dct2_hp", "idct2_hp", "dst2_hp",
            "idst2_hp", "dct4_hp", "idct4_hp", "dst4_hp", "idst4_hp",
            "dct1_hp", "idct1_hp", "dst1_hp", "idst1_hp",
-           "dct_hp", "idct_hp", "dst_hp", "idst_hp", "gdft_hp", "igdft_hp"]
+           "dct_hp", "idct_hp", "dst_hp", "idst_hp",
+           "dctn_hp", "idctn_hp", "dstn_hp", "idstn_hp",
+           "gdft_hp", "igdft_hp"]
 
 def _cmul_df(ar, ai, br, bi):
     """Complex product of df-complex values (each a (hi, lo) pair)."""
@@ -266,6 +269,13 @@ def ifft_hp(y, norm: str = DEFAULT_NORM):
 
 # ------------------------------------------------- real + DCT hp paths
 
+def _hp_norm(norm: str) -> str:
+    """check_norm + collapse the 'forward' alias onto fftpack (their
+    scaling tables are identical, config.py)."""
+    norm = check_norm(norm)
+    return "fftpack" if norm == "forward" else norm
+
+
 def _df_tab_b(v, dtype, lead, cpu: bool):
     """Host f64 table -> df pair of device constants, pre-broadcast to
     the full batch shape on the CPU backend (the XLA:CPU fused-loop
@@ -417,13 +427,11 @@ def _dct2_hp_jit(xh, xl, n: int, cpu: bool = False):
 def dct2_hp(x, norm: str = DEFAULT_NORM):
     """DCT-II at double-float precision (host f64 in/out).
 
-    Scaling matches ops.dct.dct(type=2): the fftpack pairing puts the
-    2/N on this forward side (idct type=2 is the unscaled type-3 sum),
-    ortho is orthonormal.  Other norms raise (use the f32 path or CPU
-    x64)."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"dct2_hp: norm {norm!r} not supported")
+    Scaling matches ops.dct.dct(type=2) for every norm: the fftpack
+    pairing puts the 2/N on this forward side (idct type=2 is the
+    unscaled type-3 sum), ortho is orthonormal, backward is the
+    unscaled sum (the full scale moves to the inverse)."""
+    norm = _hp_norm(norm)
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     if n == 1:
@@ -442,6 +450,8 @@ def dct2_hp(x, norm: str = DEFAULT_NORM):
     if norm == "ortho":
         y = y * np.sqrt(2.0 / n)
         y[..., 0] = y[..., 0] / np.sqrt(2.0)
+        return y
+    if norm == "backward":
         return y
     return y * (2.0 / n)
 
@@ -518,17 +528,19 @@ def idct2_hp(y, norm: str = DEFAULT_NORM):
     Makhoul inverse: V[k] = e^{i pi k/2n} (y[k] - i y[n-k]) rebuilds
     the half-spectrum, an inverse real FFT recovers the permuted
     sequence, and the even/odd de-permutation restores x."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"idct2_hp: norm {norm!r} not supported")
+    norm = _hp_norm(norm)
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[-1]
     if n == 1:
         return y / 2.0 if norm == "fftpack" else y.copy()
     # undo the forward's scaling -> unscaled core-DCT-II coefficients
+    # (the body below computes (2/n) * DCT-III(u); backward's forward
+    # side was the unscaled sum, so u = y gives the full-scale inverse)
     if norm == "ortho":
         u = y / np.sqrt(2.0 / n)
         u[..., 0] = y[..., 0] * np.sqrt(n)
+    elif norm == "backward":
+        u = y.copy()
     else:
         u = y * (n / 2.0)
     if jax.default_backend() == "cpu" and _cpu_dense(n):
@@ -632,6 +644,63 @@ def _fft2_hp(x, inverse: bool, norm: str):
     return y
 
 
+@partial(jax.jit, static_argnums=(2, 3, 4))
+def _rfft2_hp_jit(xh, xl, n0: int, n1: int, cpu: bool):
+    """2-D real-forward df program: packed r2c over the last axis, then
+    a complex df FFT across rows — the reference 2-D real driver order
+    (rfft2f_: rfftm along dim 1 then cfftm across rows,
+    fftpack.c:13282-13445), all inside ONE device program."""
+    q = _srfft_hp_jit.__wrapped__(xh, xl, n1, cpu)
+    q = tuple(jnp.swapaxes(a, -1, -2) for a in q)
+    q = _sfft_hp_body(*q, n0, False, cpu)
+    return tuple(jnp.swapaxes(a, -1, -2) for a in q)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6))
+def _irfft2_hp_jit(rh, rl, ih, il, n0: int, n1: int, cpu: bool):
+    q = tuple(jnp.swapaxes(a, -1, -2) for a in (rh, rl, ih, il))
+    q = _sfft_hp_body(*q, n0, True, cpu)
+    q = tuple(jnp.swapaxes(a, -1, -2) for a in q)
+    return _sirfft_hp_jit.__wrapped__(*q, n1, cpu)
+
+
+def rfft2_hp(x, norm: str = DEFAULT_NORM):
+    """2-D real FFT at double-float precision over the trailing two
+    axes: host f64 real (..., n0, n1) in, packed (..., n0, n1//2+1)
+    complex128 out — the rfft2 layout (rfft2f_, fftpack.c:13282-13445)
+    at the reference's C-double accuracy class."""
+    norm = check_norm(norm)
+    x = np.asarray(x, dtype=np.float64)
+    if x.ndim < 2 or x.shape[-1] == 0 or x.shape[-2] == 0:
+        raise ValueError("rfft2_hp: need a non-empty trailing 2-D block")
+    n0, n1 = x.shape[-2], x.shape[-1]
+    xh, xl = _quad_split(x)
+    out = _rfft2_hp_jit(xh, xl, n0, n1, _on_cpu(xh))
+    rh, rl, ih, il = (np.asarray(a) for a in out)
+    y = df_merge_host(rh, rl) + 1j * df_merge_host(ih, il)
+    s = fwd_scale(norm, n0) * fwd_scale(norm, n1)
+    return y * np.float64(s) if s != 1.0 else y
+
+
+def irfft2_hp(y, s, norm: str = DEFAULT_NORM):
+    """Inverse 2-D real FFT at double-float precision; ``s = (n0, n1)``
+    is the real output shape (the packed axis is parity-ambiguous)."""
+    norm = check_norm(norm)
+    n0, n1 = int(s[0]), int(s[1])
+    y = np.asarray(y, dtype=np.complex128)
+    if y.ndim < 2 or y.shape[-2] != n0 or y.shape[-1] != n1 // 2 + 1:
+        raise ValueError(
+            f"irfft2_hp: spectrum block is {y.shape[-2:]}, expected "
+            f"({n0}, {n1 // 2 + 1}) for s={s!r}")
+    rh, rl = df_split_host(y.real)
+    ih, il = df_split_host(y.imag)
+    q = tuple(jnp.asarray(v) for v in (rh, rl, ih, il))
+    oh, ol = _irfft2_hp_jit(*q, n0, n1, _on_cpu(q[0]))
+    x = df_merge_host(np.asarray(oh), np.asarray(ol))
+    sc = inv_scale(norm, n0) * inv_scale(norm, n1)
+    return x * np.float64(sc) if sc != 1.0 else x
+
+
 @partial(jax.jit, static_argnums=(2, 3))
 def _dct4_hp_jit(xh, xl, n: int, cpu_tables: bool):
     """Unscaled DCT-IV (y[k] = sum_j x[j] cos(pi(k+.5)(j+.5)/n)), df
@@ -672,12 +741,10 @@ def _dct4_hp_jit(xh, xl, n: int, cpu_tables: bool):
 def dct4_hp(x, norm: str = DEFAULT_NORM):
     """DCT-IV at double-float precision (host f64 in/out; any n).
 
-    Scaling matches ops.dct.dct(type=4): fftpack forward carries 2/n
-    (the inverse is the unscaled involution), ortho is sqrt(2/n)
-    (self-inverse)."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"dct4_hp: norm {norm!r} not supported")
+    Scaling matches ops.dct.dct(type=4) for every norm: fftpack
+    forward carries 2/n (the inverse is the unscaled involution),
+    ortho is sqrt(2/n) (self-inverse), backward is the unscaled sum."""
+    norm = _hp_norm(norm)
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     xh, xl = _quad_split(x)
@@ -685,14 +752,14 @@ def dct4_hp(x, norm: str = DEFAULT_NORM):
     y = df_merge_host(np.asarray(yh), np.asarray(yl))
     if norm == "ortho":
         return y * np.sqrt(2.0 / n)
+    if norm == "backward":
+        return y
     return y * (2.0 / n)
 
 
 def idct4_hp(y, norm: str = DEFAULT_NORM):
     """Inverse of dct4_hp (DCT-IV is an involution up to scale)."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"idct4_hp: norm {norm!r} not supported")
+    norm = _hp_norm(norm)
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[-1]
     yh, yl = _quad_split(y)
@@ -700,6 +767,9 @@ def idct4_hp(y, norm: str = DEFAULT_NORM):
     x = df_merge_host(np.asarray(xh), np.asarray(xl))
     if norm == "ortho":
         return x * np.sqrt(2.0 / n)
+    if norm == "backward":
+        # backward: the forward was unscaled, the inverse carries 2/n
+        return x * (2.0 / n)
     # fftpack: y = (2/n) C x with C^2 = (n/2) I  =>  x = C y unscaled
     return x
 
@@ -731,11 +801,13 @@ def _re_bins_hp(ext, m: int):
 def dct1_hp(x, norm: str = DEFAULT_NORM):
     """DCT-I at double-float precision via the exact even extension
     (dct._dct1_re; reference cost machinery cost1f_).  Scaling matches
-    ops.dct.dct(type=1) incl. the closed-form orthonormal DCT-I
-    (cfftpack_orthogonal_dct1, cfftpack.c:249-279)."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"dct1_hp: norm {norm!r} not supported")
+    ops.dct.dct(type=1) for every norm, incl. the closed-form
+    orthonormal DCT-I (cfftpack_orthogonal_dct1, cfftpack.c:249-279).
+    backward's forward side is the unscaled even-extension sum — which
+    is exactly idct1_hp's fftpack body."""
+    norm = _hp_norm(norm)
+    if norm == "backward":
+        return idct1_hp(x, "fftpack")
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     if n < 2:
@@ -756,12 +828,14 @@ def dct1_hp(x, norm: str = DEFAULT_NORM):
 
 def idct1_hp(y, norm: str = DEFAULT_NORM):
     """Inverse of dct1_hp: the unscaled even-extension sum for the
-    fftpack pairing; the orthonormal DCT-I is self-inverse."""
-    norm = check_norm(norm)
+    fftpack pairing; the orthonormal DCT-I is self-inverse; backward
+    moves the full 1/(n-1) scale to this inverse side (== dct1_hp's
+    fftpack body)."""
+    norm = _hp_norm(norm)
     if norm == "ortho":
         return dct1_hp(y, "ortho")
-    if norm != "fftpack":
-        raise ValueError(f"idct1_hp: norm {norm!r} not supported")
+    if norm == "backward":
+        return dct1_hp(y, "fftpack")
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[-1]
     if n < 2:
@@ -774,10 +848,12 @@ def idct1_hp(y, norm: str = DEFAULT_NORM):
 
 def dst1_hp(x, norm: str = DEFAULT_NORM):
     """DST-I at double-float precision via the exact odd extension
-    (dct._dst1_core; reference sint machinery sint1f_)."""
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"dst1_hp: norm {norm!r} not supported")
+    (dct._dst1_core; reference sint machinery sint1f_).  All norms:
+    backward's forward side is the unscaled odd-extension sum
+    (== idst1_hp's fftpack body)."""
+    norm = _hp_norm(norm)
+    if norm == "backward":
+        return idst1_hp(x, "fftpack")
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     z = np.zeros_like(x[..., :1])
@@ -791,12 +867,13 @@ def dst1_hp(x, norm: str = DEFAULT_NORM):
 
 def idst1_hp(y, norm: str = DEFAULT_NORM):
     """Inverse of dst1_hp (DST-I is an involution up to scale; the
-    orthonormal form is self-inverse)."""
-    norm = check_norm(norm)
+    orthonormal form is self-inverse; backward carries the full
+    2/(n+1) scale on this side == dst1_hp's fftpack body)."""
+    norm = _hp_norm(norm)
     if norm == "ortho":
         return dst1_hp(y, "ortho")
-    if norm != "fftpack":
-        raise ValueError(f"idst1_hp: norm {norm!r} not supported")
+    if norm == "backward":
+        return dst1_hp(y, "fftpack")
     y = np.asarray(y, dtype=np.float64)
     n = y.shape[-1]
     z = np.zeros_like(y[..., :1])
@@ -906,17 +983,18 @@ _ODD_INV = {5: 5, 6: 7, 7: 6, 8: 8}
 
 
 def _trig_hp(kind: str, x, t: int, norm: str, inverse: bool):
-    norm = check_norm(norm)
-    if norm not in ("fftpack", "ortho"):
-        raise ValueError(f"{kind}_hp: norm {norm!r} not supported")
+    norm = _hp_norm(norm)
     if t not in range(1, 9):
         raise ValueError(f"{kind}_hp: type must be 1..8, got {t}")
     x = np.asarray(x, dtype=np.float64)
     n = x.shape[-1]
     if t >= 5:
-        mode = 0 if norm == "ortho" else (1 if not inverse else -1)
+        # dct._norm_modes semantics: fftpack = full scale forward /
+        # unscaled inverse, backward the reverse, ortho orthonormal
+        fm, im = (0, 0) if norm == "ortho" else (
+            (-1, 1) if norm == "backward" else (1, -1))
         tt = _ODD_INV[t] if inverse else t
-        return _odd_apply_hp(kind, tt, x, n, mode)
+        return _odd_apply_hp(kind, tt, x, n, im if inverse else fm)
     fwd = {("dct", 1): dct1_hp, ("dct", 2): dct2_hp, ("dct", 4): dct4_hp,
            ("dst", 1): dst1_hp, ("dst", 2): dst2_hp, ("dst", 4): dst4_hp}
     inv = {("dct", 1): idct1_hp, ("dct", 2): idct2_hp,
@@ -925,11 +1003,17 @@ def _trig_hp(kind: str, x, t: int, norm: str, inverse: bool):
     if t in (1, 2, 4):
         return (inv if inverse else fwd)[(kind, t)](x, norm)
     # type 3 = the other side of the type-2 pairing: forward type 3 ==
-    # inverse-of-type-2 up to the fftpack 2/n placement; ortho is the
-    # orthonormal transpose
+    # inverse-of-type-2 up to the norm's scale placement; ortho is the
+    # orthonormal transpose.  idct2_hp(fftpack) IS the unscaled type-3
+    # core; dct2_hp(fftpack) the fully-scaled type-2 (dct._dct3_apply /
+    # _dct2_apply mode algebra).
     if norm == "ortho":
         return (fwd if inverse else inv)[(kind, 2)](x, "ortho")
-    if inverse:                      # unscaled type-2 sum
+    if norm == "backward":
+        if inverse:                  # full-scale type-2 sum
+            return fwd[(kind, 2)](x, "fftpack")
+        return inv[(kind, 2)](x, "fftpack")     # unscaled type-3 sum
+    if inverse:                      # fftpack: unscaled type-2 sum
         return fwd[(kind, 2)](x, "fftpack") * (n / 2.0)
     return inv[(kind, 2)](x, "fftpack") * (2.0 / n)
 
@@ -954,6 +1038,46 @@ def dst_hp(x, type: int = 2, norm: str = DEFAULT_NORM):
 
 def idst_hp(y, type: int = 2, norm: str = DEFAULT_NORM):
     return _trig_hp("dst", y, int(type), norm, True)
+
+
+def _ndtrig_hp(kind: str, x, t: int, axes, norm: str, inverse: bool):
+    """Separable N-D trig transform at double-float precision — the
+    host-side row-column composition of the 1-D hp transforms (each
+    axis one df device program; the reference 2-D DCT is the same
+    separable cosqm composition, cfftextra.c:306-395)."""
+    x = np.asarray(x, dtype=np.float64)
+    if axes is None:
+        axes = tuple(range(x.ndim))
+    elif isinstance(axes, int):
+        axes = (axes,)
+    y = x
+    for ax in axes:
+        ax = int(ax) % x.ndim
+        v = np.moveaxis(y, ax, -1) if ax != x.ndim - 1 else y
+        v = _trig_hp(kind, v, int(t), norm, inverse)
+        y = np.moveaxis(v, -1, ax) if ax != x.ndim - 1 else v
+    return y
+
+
+def dctn_hp(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    """N-D DCT at double-float precision (host f64 in/out); same
+    separable semantics as ops.dct.dctn — ``dctn_hp(x, 3, axes=(-2,-1))``
+    is the reference dct_2d_forward (cfftextra.c:306-395) at C-double
+    accuracy."""
+    return _ndtrig_hp("dct", x, int(type), axes, norm, False)
+
+
+def idctn_hp(y, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    return _ndtrig_hp("dct", y, int(type), axes, norm, True)
+
+
+def dstn_hp(x, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    """N-D DST at double-float precision (host f64 in/out)."""
+    return _ndtrig_hp("dst", x, int(type), axes, norm, False)
+
+
+def idstn_hp(y, type: int = 2, axes=None, norm: str = DEFAULT_NORM):
+    return _ndtrig_hp("dst", y, int(type), axes, norm, True)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))

@@ -29,8 +29,8 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
-                      inv_scale, real_dtype_of)
-from .cfft import _apply_axis
+                      hp_route, inv_scale, real_dtype_of)
+from .cfft import _apply_axis, _hp_last_axis
 
 __all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfilter_split"]
 
@@ -91,7 +91,13 @@ def rfft(x, axis: int = -1, norm: str = DEFAULT_NORM):
 
     Packed layout and FFTPACK 1/n forward scaling match the reference's
     ``rfft_forward`` (cfftpack.c:433-471).  Any length n is supported.
+
+    f64 input on a TPU backend routes to the double-float engine
+    (numpy out) — see ops.cfft.fft and config.hp_route.
     """
+    if hp_route(x):
+        from .hp import rfft_hp
+        return _hp_last_axis(rfft_hp, x, axis, norm=norm)
     return _rfft_jit(x, axis, check_norm(norm))
 
 
@@ -102,6 +108,9 @@ def irfft(y, n: int, axis: int = -1, norm: str = DEFAULT_NORM):
     about parity, so it must be given — the reference stores it in the
     plan, cfftintern.h:31-38).
     """
+    if hp_route(y):
+        from .hp import irfft_hp
+        return _hp_last_axis(irfft_hp, y, axis, n=int(n), norm=norm)
     return _irfft_jit(y, int(n), axis, check_norm(norm))
 
 
@@ -132,13 +141,38 @@ _rfft2_jit = jax.jit(_rfft2_impl, static_argnums=(1, 2))
 _irfft2_jit = jax.jit(_irfft2_impl, static_argnums=(1, 2, 3))
 
 
+def _hp_trailing2(fn, x, axes, **kw):
+    """Run a trailing-2-axes hp transform over ``axes`` of host f64
+    data (the automatic f64->df64 route on TPU backends)."""
+    x = np.asarray(x)
+    axes = tuple(int(a) % x.ndim for a in axes)
+    move = axes != (x.ndim - 2, x.ndim - 1)
+    if move:
+        x = np.moveaxis(x, axes, (-2, -1))
+    y = fn(x, **kw)
+    if move:
+        y = np.moveaxis(y, (-2, -1), axes)
+    return y
+
+
 def rfft2(x, axes=(-2, -1), norm: str = DEFAULT_NORM):
-    """2-D real FFT -> (..., n0, n1//2+1) packed complex spectrum."""
+    """2-D real FFT -> (..., n0, n1//2+1) packed complex spectrum.
+
+    f64 input on a TPU backend routes to the double-float engine
+    (numpy out) — see ops.cfft.fft and config.hp_route.
+    """
+    if hp_route(x):
+        from .hp import rfft2_hp
+        return _hp_trailing2(rfft2_hp, x, axes, norm=norm)
     return _rfft2_jit(x, tuple(int(a) for a in axes), check_norm(norm))
 
 
 def irfft2(y, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
     """Inverse 2-D real FFT; ``s = (n0, n1)`` is the real output shape."""
+    if hp_route(y):
+        from .hp import irfft2_hp
+        return _hp_trailing2(irfft2_hp, y, axes,
+                             s=(int(s[0]), int(s[1])), norm=norm)
     return _irfft2_jit(y, (int(s[0]), int(s[1])),
                        tuple(int(a) for a in axes), check_norm(norm))
 

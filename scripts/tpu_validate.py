@@ -88,6 +88,21 @@ def main():
     got = np.asarray(ct.dctn(jnp.asarray(x), 3))
     check("dct_2d 8x6", relerr(got, g["dct2d_fwd_8x6"]))
 
+    # f64 first-class routing: double input to the MAIN dtype API on
+    # this TPU backend must auto-route to the hp engine and come back
+    # at the reference's C-double tolerance (testall.c 1e-13 bar), not
+    # warn-and-hang in the f64-hostile backend
+    if jax.default_backend() != "cpu":
+        n = 60
+        x = g[f"fft_in_{n}"]                      # complex128
+        got = ct.fft(x)
+        assert isinstance(got, np.ndarray) and got.dtype == np.complex128
+        check(f"fft f64-route n={n}", relerr(got, g[f"fft_fwd_{n}"]),
+              tol=1e-13)
+        xr = g[f"dct_in_{n}"]                     # float64
+        check(f"dct f64-route n={n}", relerr(ct.dct(xr, 3),
+                                             g[f"dct_fwd_{n}"]), tol=1e-13)
+
     width = max(len(r[0]) for r in rows) + 2
     bad = 0
     for name, err, status in rows:
