@@ -274,6 +274,15 @@ def _fft_any(xr, xi, n: int, inverse: bool):
     split = _fourstep_split_n(n)
     if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
         return _fourstep_local(xr, xi, n, inverse)
+    if bp * n >= _BIG_ELEMS and jax.default_backend() == "tpu":
+        # round-3 streaming Pallas kernel: natural-layout grid over
+        # batch tiles, 1.35-1.6x the chunked lax.map paths at the
+        # BASELINE huge configs (STREAM_AB_r03.jsonl; writeup in
+        # BASELINE.md).  TPU only — the CPU fallback is interpret-mode.
+        from .pallas_stream import (stream_pallas_eligible,
+                                    sfft_stream_pallas)
+        if stream_pallas_eligible(n, xr.dtype):
+            return sfft_stream_pallas(xr, xi, n, inverse)
     if bp * n >= _BIG_ELEMS and bp % 32 == 0:
         if n >= _MAPFOUR_MIN_N and split is not None:
             return _map_chunks(

@@ -27,8 +27,8 @@ import numpy as np
 
 _SPLIT = np.float32((1 << 12) + 1)     # Dekker splitter for f32 (p=24)
 
-__all__ = ["df_split_host", "df_merge_host", "df_add", "df_sub", "df_mul",
-           "df_neg"]
+__all__ = ["df_split_host", "df_merge_host", "df_add", "df_add_accurate",
+           "df_sub", "df_mul", "df_neg"]
 
 
 def df_split_host(x) -> tuple[np.ndarray, np.ndarray]:
@@ -75,13 +75,32 @@ def _two_prod(a, b):
     return p, e
 
 
-def df_add(ahi, alo, bhi, blo):
-    """(a + b) in double-float (Hida et al. accurate add, 20 flops)."""
+def df_add_accurate(ahi, alo, bhi, blo):
+    """(a + b) in double-float (Hida et al. accurate add, 20 flops).
+
+    Guarantees ~2 ulp_dd error even under catastrophic cancellation of
+    the low parts.  Kept for reference/A-B; the engine default is the
+    11-flop df_add below — measured indistinguishable (~5e-15 rel) on
+    every transform family incl. pure-cancellation inputs
+    (benchmarks/results/HP_FFT_r03.jsonl; round-3 cost work)."""
     s, e = _two_sum(ahi, bhi)
     t, f = _two_sum(alo, blo)
     e = e + t
     s, e = _quick_two_sum(s, e)
     e = e + f
+    return _quick_two_sum(s, e)
+
+
+def df_add(ahi, alo, bhi, blo):
+    """(a + b) in double-float (Bailey/QD "sloppy" add, 11 flops).
+
+    The hi-part TwoSum is exact; only the low-part sum rounds once
+    before renormalization, so the error stays ~2^-48 relative to the
+    OPERAND magnitude (the accurate variant also bounds it relative to
+    a catastrophically-cancelled RESULT, which no transform-parity
+    tolerance here measures — all bars are scale-relative)."""
+    s, e = _two_sum(ahi, bhi)
+    e = e + (alo + blo)
     return _quick_two_sum(s, e)
 
 

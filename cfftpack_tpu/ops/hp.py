@@ -14,9 +14,12 @@ Scope: ANY length — mixed-radix stockham for factors up to
 plan.MAX_DIRECT_RADIX (every fast size and odd primes to 31), df
 Bluestein chirp-z beyond, same as the f32 engine.
 
-Cost: measured 10.6x the f32 engine on v5e at (1024, 4096)
-(benchmarks/results/HP_FFT_r02.jsonl) — the accuracy mode, not the
-throughput mode.
+Cost: measured ~10-11x the f32 engine on v5e at (1024, 4096)
+(benchmarks/results/HP_FFT_r03.jsonl; +-15% tunnel variance) — the
+accuracy mode, not the throughput mode.  Round-3 profile: twiddle
+cmuls ~47% + butterfly adds ~40% + relayouts ~14%; the butterfly adds
+alone are 4.3x the whole f32 engine, which bounds schedule-level
+speedups (radix-16 fusion measured 1.19x SLOWER; BASELINE.md).
 """
 from __future__ import annotations
 
@@ -65,10 +68,22 @@ def _cmul_j(a, sgn: float):
     return (im, df_neg(*re))
 
 
+def _dft4_cols(X, sgn: float):
+    """Radix-4 butterfly on 4 df-complex columns (the p==4 algebra)."""
+    a = _cadd(X[0], X[2])
+    b = _csub(X[0], X[2])
+    c = _cadd(X[1], X[3])
+    d = _cmul_j(_csub(X[1], X[3]), sgn)
+    return [_cadd(a, c), _cadd(b, d), _csub(a, c), _csub(b, d)]
+
+
 def _butterfly_hp(T, p: int, inverse: bool, cpu: bool = False):
     """Length-p DFT over axis -2 of df-complex T = (re_pair, im_pair);
     each pair element has shape (..., p, m).  Mirrors core._butterfly's
-    radix algebra with exactly-split constants."""
+    radix algebra with exactly-split constants.  (A fused radix-16
+    variant — two butterfly levels around scalar W16 rotations, saving
+    a twiddle-table pass — measured 1.19x SLOWER within-run on v5e;
+    dead-end recorded in BASELINE.md round-3 hp notes.)"""
     sgn = 1.0 if inverse else -1.0
 
     def pick(j):
@@ -89,11 +104,7 @@ def _butterfly_hp(T, p: int, inverse: bool, cpu: bool = False):
     if p == 2:
         return stack([_cadd(X[0], X[1]), _csub(X[0], X[1])])
     if p == 4:
-        a = _cadd(X[0], X[2])
-        b = _csub(X[0], X[2])
-        c = _cadd(X[1], X[3])
-        d = _cmul_j(_csub(X[1], X[3]), sgn)
-        return stack([_cadd(a, c), _cadd(b, d), _csub(a, c), _csub(b, d)])
+        return stack(_dft4_cols(X, sgn))
     # generic small radix (3, 5, odd primes <= 31): dense DFT sum with
     # df-split matrix constants.  Vectorized over the OUTPUT bin axis
     # (each term is a (..., p, m) df op against a (p, 1) constant

@@ -1,0 +1,312 @@
+"""Pallas TPU kernel: streaming four-step FFT for the huge-working-set
+regime (total elements >= ~2^23, n >= 2048 power-of-two).
+
+Round-2 findings (BASELINE.md "Pallas kernel findings"): the shipped
+fourstep kernel (ops/pallas_fourstep.py) keeps whole transforms
+VMEM-resident but (a) pays TWO full XLA-side HBM transpose passes to
+lane-pair its (n2, 128) feed, and (b) its stage body materializes a
+stack + swapaxes relayout copy per radix-4 stage.  This kernel is the
+round-3 redesign for the regime where the XLA engines collapse to a
+sequential lax.map (0.07-0.21 of roofline, BASELINE.md dispatch grid):
+
+* **Natural-layout feed, zero prep passes.**  Decimate j = 128*q + r:
+  ``x.reshape(b, m, 128)`` puts r in LANES and q in sublanes with no
+  data movement.  The four-step identity (reference 2-D driver
+  cfft2f_, /root/reference/cfftpack/fftpack.c:2363-2434, re-derived
+  for this layout):
+
+      X[k2 + m*k1] = sum_r W_128^{r k1} * W_n^{r k2}
+                     * (sum_q x[q, r] W_m^{q k2})
+
+  - inner m-point DFT over SUBLANES (per lane, Stockham radix-4 with
+    an optional lead radix-2 and an unrolled DFT-16 tail — the
+    Mosaic-legal stage bodies of the round-2 kernel);
+  - outer twiddle = one (m, 128) VMEM table multiply;
+  - outer 128-point DFT = ONE full-width (bt*m, 128) @ D128 MXU
+    contraction over lanes (precision=HIGHEST).
+
+* **Streaming grid.** The grid walks batch tiles of bt transforms;
+  Pallas's grid pipeline double-buffers the HBM->VMEM input DMA and
+  the VMEM->HBM output DMA against the stage bodies, so butterflies
+  hide behind the next tile's DMA (the VERDICT round-3 item-1 shape).
+
+* **One VMEM pass per stage.** Twiddles are folded into the butterfly
+  outputs BEFORE the Stockham store and the store stacks directly at
+  the output-digit axis (axis 1) — no separate twiddle pass and no
+  swapaxes relayout (two of the three per-stage VMEM copies of the
+  round-2 kernel).
+
+Output layout is PERMUTED: out[b, k2, k1] = X[k2 + m*k1] (rows k2,
+lanes k1).  The inverse kernel consumes exactly this layout and emits
+natural order, so fwd+filter+inv pipelines run with ZERO transposes
+end-to-end; natural-order one-way output costs one XLA transpose pass
+(``sfft_stream_pallas`` pays it; ``*_permuted`` entry points do not).
+
+Eligibility: f32 planes, n = 128 * m with m a power of two >= 16
+(i.e. any power-of-two n >= 2048).
+"""
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .. import plan
+from .pallas_fourstep import _dft16_rows
+
+__all__ = ["stream_pallas_eligible", "sfft_stream_pallas",
+           "sfft_stream_pallas_permuted"]
+
+_N1 = 128          # lanes = outer DFT length
+_TAIL = 16
+_ROW_BUDGET = 4096  # sublane rows (bt * m) per grid step
+_HI = dict(precision=jax.lax.Precision.HIGHEST,
+           preferred_element_type=jnp.float32)
+
+
+def _stage_plan(m: int):
+    """Radix schedule (list of stage radixes, tail-16 excluded) for a
+    power-of-two m >= 16, or None.  Radix-16 middle stages (the same
+    unrolled DFT-16 as the tail) are preferred: each stage pass
+    materializes ONE stacked tile copy in VMEM regardless of radix, so
+    fewer/fatter stages directly cut the kernel's dominant cost
+    (stage-B VMEM passes; see BASELINE.md round-3 stream notes)."""
+    if m < _TAIL or m & (m - 1):
+        return None
+    stages = []
+    t = m.bit_length() - 1 - 4          # m = 2^(t+4)
+    if t % 2:
+        stages.append(2)
+        mm = m // 2
+    else:
+        mm = m
+    while mm > _TAIL:
+        p = 16 if mm // 16 >= _TAIL else 4
+        stages.append(p)
+        mm //= p
+    return stages
+
+
+def _tile_batch(m: int, rows: int = 0) -> int:
+    return max(1, (rows or _ROW_BUDGET) // m)
+
+
+def stream_pallas_eligible(n: int, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    return n % _N1 == 0 and _stage_plan(n // _N1) is not None
+
+
+@functools.lru_cache(maxsize=64)
+def _tables(n: int, inverse: bool):
+    """Host f64 tables: D128 (symmetric, conj for inverse), outer
+    twiddle W_n^{r k2} as (m, 128), and the per-stage Stockham twiddles
+    flattened to one (rows, 128) array (q-major per stage, lead radix-2
+    first), all pre-broadcast across lanes (Mosaic rejects lane
+    broadcasts of (x, 1) tables)."""
+    m = n // _N1
+    sgn = 2j * np.pi if inverse else -2j * np.pi
+    D = plan.dft_matrix(_N1)
+    if inverse:
+        D = np.conj(D)
+    k2 = np.arange(m)[:, None]
+    r = np.arange(_N1)[None, :]
+    t1 = np.exp(sgn * k2 * r / n)                       # (m, 128)
+    parts = []
+    mm = m
+    for p in _stage_plan(m):
+        mn = mm // p
+        j = np.arange(mn)[None, :]
+        tw = np.exp(sgn * np.arange(p)[:, None] * j / mm)   # (p, mn)
+        parts.append(np.repeat(tw.reshape(p * mn, 1), _N1, axis=1))
+        mm = mn
+    flat = (np.concatenate(parts, axis=0) if parts
+            else np.zeros((1, _N1), np.complex128))
+    f32 = np.float32
+    return (D.real.astype(f32), D.imag.astype(f32),
+            t1.real.astype(f32), t1.imag.astype(f32),
+            flat.real.astype(f32), flat.imag.astype(f32))
+
+
+def _stockham_rows(sr, si, bt: int, m: int, sign: float,
+                   twr_ref, twi_ref):
+    """m-point DFT over axis 1 of (bt, m, 128) planes: Stockham with
+    radix-16 middle stages (unrolled DFT-16, same as the tail),
+    radix-4/2 fill-in, twiddles fused pre-store, DFT-16 tail.  One
+    stack per stage, no swapaxes."""
+    L, mm, off = 1, m, 0
+
+    def tw(q, mn):
+        lo = off + q * mn
+        return (twr_ref[lo: lo + mn, :][None, None],
+                twi_ref[lo: lo + mn, :][None, None])
+
+    for p in _stage_plan(m):
+        mn = mm // p
+        Tr = sr.reshape(bt, L, p, mn, _N1)
+        Ti = si.reshape(bt, L, p, mn, _N1)
+        R = [Tr[:, :, j] for j in range(p)]
+        I = [Ti[:, :, j] for j in range(p)]
+        if p == 2:
+            u = [(R[0] + R[1], I[0] + I[1]), (R[0] - R[1], I[0] - I[1])]
+        elif p == 4:
+            ar, ai = R[0] + R[2], I[0] + I[2]
+            br, bi = R[0] - R[2], I[0] - I[2]
+            cr, ci = R[1] + R[3], I[1] + I[3]
+            dr_ = -sign * (I[1] - I[3])
+            di_ = sign * (R[1] - R[3])
+            u = [(ar + cr, ai + ci), (br + dr_, bi + di_),
+                 (ar - cr, ai - ci), (br - dr_, bi - di_)]
+        else:
+            u = _dft16_rows(list(zip(R, I)), sign)
+        outs_r, outs_i = [u[0][0]], [u[0][1]]       # q=0: twiddle 1
+        for q in range(1, p):
+            wr, wi = tw(q, mn)
+            ur, ui = u[q]
+            outs_r.append(ur * wr - ui * wi)
+            outs_i.append(ur * wi + ui * wr)
+        # Stockham store: output digit q is the MSD -> stack at axis 1
+        sr = jnp.stack(outs_r, axis=1).reshape(bt, p * L * mn, _N1)
+        si = jnp.stack(outs_i, axis=1).reshape(bt, p * L * mn, _N1)
+        off += p * mn
+        L *= p
+        mm = mn
+
+    Tr = sr.reshape(bt, L, _TAIL, _N1)
+    Ti = si.reshape(bt, L, _TAIL, _N1)
+    rows = [(Tr[:, :, j], Ti[:, :, j]) for j in range(_TAIL)]
+    outs = _dft16_rows(rows, sign)
+    sr = jnp.stack([o[0] for o in outs], axis=1).reshape(bt, m, _N1)
+    si = jnp.stack([o[1] for o in outs], axis=1).reshape(bt, m, _N1)
+    return sr, si
+
+
+def _make_kernel(n: int, inverse: bool, bt: int):
+    m = n // _N1
+    sign = 1.0 if inverse else -1.0
+
+    def _cdot128(Yr, Yi, Dr, Di):
+        """Complex (rows, 128) @ (128, 128) in THREE real MXU dots
+        (Karatsuba: M3 = (Yr+Yi)(Dr+Di)) — 25% less MXU work than the
+        4-dot form; stage A is the kernel's dominant FLOP term."""
+        M1 = jnp.dot(Yr, Dr, **_HI)
+        M2 = jnp.dot(Yi, Di, **_HI)
+        M3 = jnp.dot(Yr + Yi, Dr + Di, **_HI)
+        return M1 - M2, M3 - M1 - M2
+
+    def fwd_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref, t1i_ref,
+                   twr_ref, twi_ref, or_ref, oi_ref):
+        # inner m-DFT over sublanes (natural rows q -> bins k2)
+        sr, si = _stockham_rows(xr_ref[:], xi_ref[:], bt, m, sign,
+                                twr_ref, twi_ref)
+        # outer twiddle W_n^{r k2}
+        t1r = t1r_ref[:][None]
+        t1i = t1i_ref[:][None]
+        yr = sr * t1r - si * t1i
+        yi = sr * t1i + si * t1r
+        # outer DFT-128: contract LANES on the MXU (D symmetric)
+        Zr, Zi = _cdot128(yr.reshape(bt * m, _N1),
+                          yi.reshape(bt * m, _N1),
+                          dr_ref[:], di_ref[:])
+        or_ref[:] = Zr.reshape(bt, m, _N1)
+        oi_ref[:] = Zi.reshape(bt, m, _N1)
+
+    def inv_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref, t1i_ref,
+                   twr_ref, twi_ref, or_ref, oi_ref):
+        # reverse pipeline: outer DFT-128 first (permuted layout in)
+        Yr, Yi = _cdot128(xr_ref[:].reshape(bt * m, _N1),
+                          xi_ref[:].reshape(bt * m, _N1),
+                          dr_ref[:], di_ref[:])
+        yr = Yr.reshape(bt, m, _N1)
+        yi = Yi.reshape(bt, m, _N1)
+        t1r = t1r_ref[:][None]
+        t1i = t1i_ref[:][None]
+        sr = yr * t1r - yi * t1i
+        si = yr * t1i + yi * t1r
+        sr, si = _stockham_rows(sr, si, bt, m, sign, twr_ref, twi_ref)
+        or_ref[:] = sr
+        oi_ref[:] = si
+
+    return inv_kernel if inverse else fwd_kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _stream_pallas_2d(xr, xi, n: int, inverse: bool, rows: int = 0):
+    """(b, m, 128) planes -> (b, m, 128) planes.  Forward: natural rows
+    in, permuted (k2, k1) out.  Inverse: permuted in, natural out.
+    ``rows`` overrides the per-grid-step sublane-row budget (0 = the
+    measured default _ROW_BUDGET)."""
+    b = xr.shape[0]
+    m = n // _N1
+    bt = _tile_batch(m, rows)
+    bp = -(-b // bt) * bt
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+    kernel = _make_kernel(n, inverse, bt)
+    tabs = [jnp.asarray(t) for t in _tables(n, inverse)]
+    interp = jax.default_backend() != "tpu"
+    ms = pl.ANY if interp else pltpu.VMEM
+    blk = pl.BlockSpec((bt, m, _N1), lambda i: (i, 0, 0),
+                       memory_space=ms)
+    tw = pl.BlockSpec(memory_space=ms)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[blk, blk] + [tw] * len(tabs),
+        out_specs=[blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((bp, m, _N1), xr.dtype)] * 2,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xr, xi, *tabs)
+    return yr[:b], yi[:b]
+
+
+def sfft_stream_pallas_permuted(xr, xi, n: int, inverse: bool,
+                                rows: int = 0):
+    """Permuted-layout streaming FFT over the last axis (same split
+    contract as core.sfft, but the spectrum is laid out
+    X[k2 + m*k1] at flat position [k2*128 + k1], m = n/128).
+
+    forward(natural) -> permuted; inverse(permuted) -> natural; so a
+    fwd -> pointwise-filter -> inv pipeline never transposes.  The
+    filter must be permuted once on host to match (cheap, reusable).
+    """
+    shape = xr.shape
+    xr2 = xr.reshape(-1, n // _N1, _N1)
+    xi2 = xi.reshape(-1, n // _N1, _N1)
+    yr, yi = _stream_pallas_2d(xr2, xi2, n, inverse, rows)
+    return yr.reshape(shape), yi.reshape(shape)
+
+
+def sfft_stream_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):
+    """Natural-order streaming FFT over the last axis (core.sfft
+    contract).  Costs ONE XLA transpose pass on the permuted side —
+    benchmarks that chain fwd+inv should use the *_permuted form."""
+    shape = xr.shape
+    m = n // _N1
+
+    def to_permuted(v):
+        # natural (.., 128, m) -> rows k2, lanes k1
+        return jnp.swapaxes(v.reshape(-1, _N1, m), -1, -2)
+
+    def from_permuted(v):
+        return jnp.swapaxes(v, -1, -2).reshape(-1, n)
+
+    if inverse:
+        xr2 = to_permuted(xr.reshape(-1, n))
+        xi2 = to_permuted(xi.reshape(-1, n))
+        yr, yi = _stream_pallas_2d(xr2, xi2, n, True, rows)
+        return (yr.reshape(-1, n).reshape(shape),
+                yi.reshape(-1, n).reshape(shape))
+    xr2 = xr.reshape(-1, m, _N1)
+    xi2 = xi.reshape(-1, m, _N1)
+    yr, yi = _stream_pallas_2d(xr2, xi2, n, False, rows)
+    return (from_permuted(yr).reshape(shape),
+            from_permuted(yi).reshape(shape))

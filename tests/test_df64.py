@@ -368,3 +368,22 @@ def test_dctn_hp_2d():
     rs = np.asarray(ct.dstn(x, type=2, axes=(1, 2)))
     assert np.max(np.abs(gs - rs)) / np.max(np.abs(rs)) < 1e-12
     assert np.max(np.abs(ct.idstn_hp(gs, type=2, axes=(1, 2)) - x)) < 1e-12
+
+
+def test_df_add_fast_vs_accurate():
+    """The engine's 11-flop sloppy add must stay within the accurate
+    add's operand-relative bound, including forced hi-part
+    cancellation (the sloppy loss mode is only RESULT-relative)."""
+    r = np.random.default_rng(41)
+    a = r.standard_normal(2048) * 10.0 ** r.integers(-6, 6, 2048)
+    b = np.where(r.random(2048) < 0.5, -a * (1 + 1e-7), b_ := r.standard_normal(2048))
+    ah, al = D.df_split_host(a)
+    bh, bl = D.df_split_host(b)
+    args = [jnp.asarray(v) for v in (ah, al, bh, bl)]
+    fh, fl = jax.jit(D.df_add)(*args)
+    gh, gl = jax.jit(D.df_add_accurate)(*args)
+    f = D.df_merge_host(np.asarray(fh), np.asarray(fl))
+    g = D.df_merge_host(np.asarray(gh), np.asarray(gl))
+    scale = np.abs(a) + np.abs(b)
+    assert (np.abs(f - (a + b)) / scale).max() < 1e-12
+    assert (np.abs(f - g) / scale).max() < 1e-12

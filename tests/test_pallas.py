@@ -85,3 +85,51 @@ def test_fft_split_pallas_routes_large_n():
     er, ei = ct.fft_split(xr, xi)
     assert np.abs(np.asarray(pr) - np.asarray(er)).max() < 1e-5
     assert np.abs(np.asarray(pi) - np.asarray(ei)).max() < 1e-5
+
+
+def test_stream_kernel_matches_numpy():
+    """Round-3 streaming four-step kernel (ops/pallas_stream.py):
+    natural + permuted layouts, forward/inverse/roundtrip, batch
+    padding — interpret mode (compiled path measured on the real chip,
+    benchmarks/stream_bench.py)."""
+    from cfftpack_tpu.ops.pallas_stream import (
+        stream_pallas_eligible, sfft_stream_pallas,
+        sfft_stream_pallas_permuted)
+    assert stream_pallas_eligible(65536, np.float32)
+    assert stream_pallas_eligible(131072, np.float32)
+    assert not stream_pallas_eligible(960, np.float32)   # not 128*2^k
+    assert not stream_pallas_eligible(2048, np.float64)
+    n = 2048                        # m=16: the tail-only schedule
+    xr, xi = rng_pair((3, n), seed=11)
+    yr, yi = sfft_stream_pallas(jnp.asarray(xr), jnp.asarray(xi), n,
+                                False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fft(xr + 1j * xi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    # permuted layout relation: perm[.., k2, k1] == X[k2 + m*k1]
+    m = n // 128
+    pr, pi_ = sfft_stream_pallas_permuted(jnp.asarray(xr),
+                                          jnp.asarray(xi), n, False)
+    perm = (np.asarray(pr) + 1j * np.asarray(pi_)).reshape(3, m, 128)
+    nat = want.reshape(3, 128, m)
+    assert (np.abs(perm - nat.transpose(0, 2, 1)).max()
+            / np.abs(want).max()) < 5e-6
+    # zero-transpose roundtrip through the permuted inverse
+    qr, qi = sfft_stream_pallas_permuted(pr, pi_, n, True)
+    rt = (np.asarray(qr) + 1j * np.asarray(qi)) / n
+    np.testing.assert_allclose(rt, xr + 1j * xi, atol=5e-5)
+
+
+def test_stream_kernel_lead_radix2():
+    """m = 32 = 2*16 exercises the lead radix-2 stage (n=4096)."""
+    from cfftpack_tpu.ops.pallas_stream import sfft_stream_pallas
+    n = 4096
+    xr, xi = rng_pair((5, n), seed=13)      # batch > tile to hit grid
+    yr, yi = sfft_stream_pallas(jnp.asarray(xr), jnp.asarray(xi), n,
+                                False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fft(xr + 1j * xi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    zr, zi = sfft_stream_pallas(yr, yi, n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    np.testing.assert_allclose(back, xr + 1j * xi, atol=5e-5)
