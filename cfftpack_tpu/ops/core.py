@@ -272,17 +272,21 @@ def _fft_any(xr, xi, n: int, inverse: bool):
     for d in xr.shape[:-1]:
         bp *= int(d)
     split = _fourstep_split_n(n)
-    if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
-        return _fourstep_local(xr, xi, n, inverse)
-    if bp * n >= _BIG_ELEMS and jax.default_backend() == "tpu":
+    if jax.default_backend() == "tpu":
         # round-3 streaming Pallas kernel: natural-layout grid over
-        # batch tiles, 1.35-1.6x the chunked lax.map paths at the
-        # BASELINE huge configs (STREAM_AB_r03.jsonl; writeup in
-        # BASELINE.md).  TPU only — the CPU fallback is interpret-mode.
+        # batch tiles.  Measured win region on v5e (STREAM_AB_r03 +
+        # the sub-2^24 grid in BASELINE.md): 1.2-1.8x over every XLA
+        # engine once n >= 32768 with >= 2^23 total elements (>= 2^22
+        # suffices at n >= 65536); ties at (65536, 128); loses at
+        # n <= 16384.  TPU only — the CPU fallback is interpret-mode.
         from .pallas_stream import (stream_pallas_eligible,
                                     sfft_stream_pallas)
-        if stream_pallas_eligible(n, xr.dtype):
+        if stream_pallas_eligible(n, xr.dtype) and (
+                (n >= 65536 and bp * n >= (1 << 22))
+                or (n >= 32768 and bp * n >= (1 << 23))):
             return sfft_stream_pallas(xr, xi, n, inverse)
+    if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
+        return _fourstep_local(xr, xi, n, inverse)
     if bp * n >= _BIG_ELEMS and bp % 32 == 0:
         if n >= _MAPFOUR_MIN_N and split is not None:
             return _map_chunks(
