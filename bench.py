@@ -131,6 +131,18 @@ def main():
 
     t_hp = _try(_hp)
 
+    # huge-working-set regime (round-3 streaming Pallas kernel,
+    # auto-dispatched in core._fft_any): one forward per iter at the
+    # BASELINE huge config (65536, 256)
+    def _huge():
+        nh, bh = 65536, 256
+        hr = jnp.asarray(r.standard_normal((bh, nh)).astype(np.float32))
+        hi_ = jnp.asarray(r.standard_normal((bh, nh)).astype(np.float32))
+        return _per_iter(
+            lambda s: ct.fft_split(s[0], s[1], norm="ortho"),
+            (hr, hi_), lo=2, hi=12)
+
+    t_huge = _try(_huge)
 
     result = {
         "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
@@ -154,6 +166,8 @@ def main():
                                                             2),
             "t_fft_hp_us": None if t_hp is None else round(t_hp * 1e6,
                                                            2),
+            "t_fft_65536x256_us": (None if t_huge is None
+                                   else round(t_huge * 1e6, 1)),
         },
     }
     print(json.dumps(result))

@@ -13,6 +13,7 @@ Here batching is leading array axes, and scale-out is first-class:
 """
 from .mesh import make_mesh, local_mesh, init_distributed  # noqa: F401
 from .batch import shard_batch, pfft, pifft, prfft, pirfft, pdct  # noqa: F401
+from .hp import pfft_hp, pifft_hp, prfft_hp  # noqa: F401
 from .fourstep import fft_fourstep, ifft_fourstep  # noqa: F401
 from .fourstep_split import (fft_fourstep_split,  # noqa: F401
                              ifft_fourstep_split)

@@ -354,3 +354,30 @@ def test_rfft2_sharded_matches_single_device():
     n_a2a = sum(1 for line in txt.splitlines() if "all-to-all(" in line)
     # one transpose there + one back, times two split (re, im) planes
     assert n_a2a == 4, f"expected 4 all-to-all in forward, got {n_a2a}"
+
+
+def test_sharded_hp_matches_single_device():
+    """Batch-sharded double-float transforms (parallel/hp.py): the df
+    quad planes shard over the mesh batch axis; results must be
+    BIT-identical to the single-device hp engine (same programs, no
+    collectives for per-row work) at f64-class accuracy vs numpy."""
+    import numpy as np
+    from cfftpack_tpu.parallel import pfft_hp, pifft_hp, prfft_hp
+    import cfftpack_tpu as ct
+    mesh = local_mesh()
+    nd = mesh.shape["data"] if "data" in mesh.shape else None
+    r = np.random.default_rng(4)
+    b = 2 * mesh.devices.size
+    x = r.standard_normal((b, 24)) + 1j * r.standard_normal((b, 24))
+    y = pfft_hp(x, mesh)
+    assert np.abs(y - np.fft.fft(x) / 24).max() < 1e-13
+    np.testing.assert_array_equal(y, ct.fft_hp(x))
+    back = pifft_hp(y, mesh)
+    assert np.abs(back - x).max() < 1e-13
+    v = r.standard_normal((b, 16))
+    s = prfft_hp(v, mesh)
+    assert np.abs(s - np.fft.rfft(v) / 16).max() < 1e-13
+    np.testing.assert_array_equal(s, ct.rfft_hp(v))
+    import pytest
+    with pytest.raises(ValueError, match="divisible"):
+        pfft_hp(x[: mesh.devices.size + 1], mesh)
