@@ -9,7 +9,7 @@ from __future__ import annotations
 import numpy as np
 import jax.numpy as jnp
 
-from ..config import DEFAULT_NORM
+from ..config import DEFAULT_NORM, hp_route
 from .cfft import fft, ifft
 from .rfft import rfft, irfft
 
@@ -37,12 +37,18 @@ def circular_convolve(a, b, axis: int = -1):
     handled internally so the result equals the direct circular sum.
     Real inputs use the r2c path (half the transforms).
     """
-    a = jnp.asarray(a)
-    b = jnp.asarray(b)
+    if hp_route(a, b):
+        # f64 on a TPU backend: stay on host so the transforms route
+        # to the double-float engine (see config.hp_route)
+        a = np.asarray(a)
+        b = np.asarray(b)
+    else:
+        a = jnp.asarray(a)
+        b = jnp.asarray(b)
     n = a.shape[axis]
     if b.shape[axis] != n:
         raise ValueError("circular_convolve: axis lengths differ")
-    real = not (jnp.iscomplexobj(a) or jnp.iscomplexobj(b))
+    real = not (np.iscomplexobj(a) or np.iscomplexobj(b))
     if real:
         fa = rfft(a, axis=axis, norm=DEFAULT_NORM)
         fb = rfft(b, axis=axis, norm=DEFAULT_NORM)

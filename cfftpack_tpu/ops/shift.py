@@ -9,28 +9,39 @@ element-by-element swap loop.
 """
 from __future__ import annotations
 
+import numpy as np
 import jax.numpy as jnp
+
+from ..config import hp_route
 
 __all__ = ["fftshift", "ifftshift"]
 
 
+def _as_backend(x):
+    """f64 on a TPU backend stays a host array (jnp.asarray would
+    truncate to f32; the roll is a pure permutation either way)."""
+    return np.asarray(x) if hp_route(x) else jnp.asarray(x)
+
+
 def fftshift(x, axes=None):
-    x = jnp.asarray(x)
+    x = _as_backend(x)
+    xp = np if isinstance(x, np.ndarray) else jnp
     if axes is None:
         axes = tuple(range(x.ndim))
     elif isinstance(axes, int):
         axes = (axes,)
     for ax in axes:
-        x = jnp.roll(x, x.shape[ax] // 2, axis=ax)
+        x = xp.roll(x, x.shape[ax] // 2, axis=ax)
     return x
 
 
 def ifftshift(x, axes=None):
-    x = jnp.asarray(x)
+    x = _as_backend(x)
+    xp = np if isinstance(x, np.ndarray) else jnp
     if axes is None:
         axes = tuple(range(x.ndim))
     elif isinstance(axes, int):
         axes = (axes,)
     for ax in axes:
-        x = jnp.roll(x, -(x.shape[ax] // 2), axis=ax)
+        x = xp.roll(x, -(x.shape[ax] // 2), axis=ax)
     return x

