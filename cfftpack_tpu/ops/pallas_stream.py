@@ -42,8 +42,9 @@ natural order, so fwd+filter+inv pipelines run with ZERO transposes
 end-to-end; natural-order one-way output costs one XLA transpose pass
 (``sfft_stream_pallas`` pays it; ``*_permuted`` entry points do not).
 
-Eligibility: f32 planes, n = 128 * m with m a power of two >= 16
-(i.e. any power-of-two n >= 2048).
+Eligibility: f32 planes, n = 128 * m with m a 5-smooth multiple of
+16 (every power-of-two n >= 2048, plus 3/5-mixed sizes like 98304,
+163840, 245760 — radix-3/5 row stages run first).
 """
 from __future__ import annotations
 
@@ -56,6 +57,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .. import plan
+from .core import _C5_1, _C5_2, _S5_1, _S5_2, _SQ3_2
 from .pallas_fourstep import _dft16_rows
 
 __all__ = ["stream_pallas_eligible", "sfft_stream_pallas",
@@ -69,25 +71,31 @@ _HI = dict(precision=jax.lax.Precision.HIGHEST,
 
 
 def _stage_plan(m: int):
-    """Radix schedule (list of stage radixes, tail-16 excluded) for a
-    power-of-two m >= 16, or None.  Radix-16 middle stages (the same
-    unrolled DFT-16 as the tail) are preferred: each stage pass
-    materializes ONE stacked tile copy in VMEM regardless of radix, so
-    fewer/fatter stages directly cut the kernel's dominant cost
-    (stage-B VMEM passes; see BASELINE.md round-3 stream notes)."""
-    if m < _TAIL or m & (m - 1):
+    """Radix schedule (list of stage radixes, tail-16 excluded) for
+    m = 16 * 2^a * 3^b * 5^c (any 5-smooth multiple of 16), or None.
+    Radix-16 middle stages (the same unrolled DFT-16 as the tail) are
+    preferred for the power-of-two part: each stage pass materializes
+    ONE stacked tile copy in VMEM regardless of radix, so fewer/fatter
+    stages directly cut the kernel's dominant cost (stage-B VMEM
+    passes; see BASELINE.md round-3 stream notes).  Odd radix-3/5
+    stages run first (while rows are longest)."""
+    if m < _TAIL or m % _TAIL:
         return None
     stages = []
-    t = m.bit_length() - 1 - 4          # m = 2^(t+4)
+    rest = m
+    for p in (3, 5):
+        while rest % p == 0:
+            stages.append(p)
+            rest //= p
+    if rest < _TAIL or rest & (rest - 1):
+        return None                      # non-5-smooth or tail too short
+    t = rest.bit_length() - 1 - 4        # rest = 2^(t+4)
     if t % 2:
         stages.append(2)
-        mm = m // 2
-    else:
-        mm = m
-    while mm > _TAIL:
-        p = 16 if mm // 16 >= _TAIL else 4
-        stages.append(p)
-        mm //= p
+        rest //= 2
+    while rest > _TAIL:
+        stages.append(16 if rest // 16 >= _TAIL else 4)
+        rest //= stages[-1]
     return stages
 
 
@@ -153,6 +161,31 @@ def _stockham_rows(sr, si, bt: int, m: int, sign: float,
         I = [Ti[:, :, j] for j in range(p)]
         if p == 2:
             u = [(R[0] + R[1], I[0] + I[1]), (R[0] - R[1], I[0] - I[1])]
+        elif p == 3:
+            tr3, ti3 = R[1] + R[2], I[1] + I[2]
+            dr3, di3 = R[1] - R[2], I[1] - I[2]
+            m1r = R[0] - 0.5 * tr3
+            m1i = I[0] - 0.5 * ti3
+            m2r = -(sign * _SQ3_2) * di3
+            m2i = (sign * _SQ3_2) * dr3
+            u = [(R[0] + tr3, I[0] + ti3), (m1r + m2r, m1i + m2i),
+                 (m1r - m2r, m1i - m2i)]
+        elif p == 5:
+            t1r, t1i = R[1] + R[4], I[1] + I[4]
+            t2r, t2i = R[2] + R[3], I[2] + I[3]
+            t3r, t3i = R[1] - R[4], I[1] - I[4]
+            t4r, t4i = R[2] - R[3], I[2] - I[3]
+            a1r = R[0] + _C5_1 * t1r + _C5_2 * t2r
+            a1i = I[0] + _C5_1 * t1i + _C5_2 * t2i
+            a2r = R[0] + _C5_2 * t1r + _C5_1 * t2r
+            a2i = I[0] + _C5_2 * t1i + _C5_1 * t2i
+            b1r = -sign * (_S5_1 * t3i + _S5_2 * t4i)
+            b1i = sign * (_S5_1 * t3r + _S5_2 * t4r)
+            b2r = -sign * (_S5_2 * t3i - _S5_1 * t4i)
+            b2i = sign * (_S5_2 * t3r - _S5_1 * t4r)
+            u = [(R[0] + t1r + t2r, I[0] + t1i + t2i),
+                 (a1r + b1r, a1i + b1i), (a2r + b2r, a2i + b2i),
+                 (a2r - b2r, a2i - b2i), (a1r - b1r, a1i - b1i)]
         elif p == 4:
             ar, ai = R[0] + R[2], I[0] + I[2]
             br, bi = R[0] - R[2], I[0] - I[2]

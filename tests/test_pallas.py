@@ -133,3 +133,26 @@ def test_stream_kernel_lead_radix2():
     zr, zi = sfft_stream_pallas(yr, yi, n, True)
     back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
     np.testing.assert_allclose(back, xr + 1j * xi, atol=5e-5)
+
+
+def test_stream_kernel_mixed_radix():
+    """5-smooth m: radix-3/5 row stages ([3,16] at n=6144 etc.) —
+    interpret mode; on-chip A/B in BASELINE.md (1.45-2.4x over the
+    XLA engines at 98304/163840)."""
+    from cfftpack_tpu.ops.pallas_stream import (stream_pallas_eligible,
+                                                sfft_stream_pallas,
+                                                _stage_plan)
+    assert _stage_plan(768) == [3, 16]
+    assert _stage_plan(240) == [3, 5]
+    assert stream_pallas_eligible(98304, np.float32)
+    assert not stream_pallas_eligible(128 * 7 * 16, np.float32)  # 7-smooth
+    for n in (6144, 10240):            # m = 48 [3], m = 80 [5]
+        xr, xi = rng_pair((2, n), seed=n)
+        yr, yi = sfft_stream_pallas(jnp.asarray(xr), jnp.asarray(xi), n,
+                                    False)
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        want = np.fft.fft(xr + 1j * xi)
+        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+        zr, zi = sfft_stream_pallas(yr, yi, n, True)
+        back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+        np.testing.assert_allclose(back, xr + 1j * xi, atol=5e-5)
