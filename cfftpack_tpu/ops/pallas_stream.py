@@ -61,11 +61,16 @@ from .core import _C5_1, _C5_2, _S5_1, _S5_2, _SQ3_2
 from .pallas_fourstep import _dft16_rows
 
 __all__ = ["stream_pallas_eligible", "sfft_stream_pallas",
-           "sfft_stream_pallas_permuted"]
+           "sfft_stream_pallas_permuted", "sfilter_stream_pallas"]
 
 _N1 = 128          # lanes = outer DFT length
 _TAIL = 16
 _ROW_BUDGET = 4096  # sublane rows (bt * m) per grid step
+_MAX_M = 4096       # largest whole-transform row count that fits VMEM:
+                    # m = 8192 (n = 2^20) needs 156.5M of the chip's
+                    # 128M (double-buffered in/out windows + twiddle
+                    # tables + stage copies — compile error recorded in
+                    # BASELINE.md); m = 4096 compiles and wins on v5e
 _HI = dict(precision=jax.lax.Precision.HIGHEST,
            preferred_element_type=jnp.float32)
 
@@ -106,7 +111,8 @@ def _tile_batch(m: int, rows: int = 0) -> int:
 def stream_pallas_eligible(n: int, dtype) -> bool:
     if jnp.dtype(dtype) != jnp.float32:
         return False
-    return n % _N1 == 0 and _stage_plan(n // _N1) is not None
+    return (n % _N1 == 0 and n // _N1 <= _MAX_M
+            and _stage_plan(n // _N1) is not None)
 
 
 @functools.lru_cache(maxsize=64)
@@ -248,11 +254,11 @@ def _make_kernel(n: int, inverse: bool, bt: int):
         or_ref[:] = Zr.reshape(bt, m, _N1)
         oi_ref[:] = Zi.reshape(bt, m, _N1)
 
-    def inv_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref, t1i_ref,
-                   twr_ref, twi_ref, or_ref, oi_ref):
+    def _inv_body(xr, xi, dr_ref, di_ref, t1r_ref, t1i_ref,
+                  twr_ref, twi_ref, or_ref, oi_ref):
         # reverse pipeline: outer DFT-128 first (permuted layout in)
-        Yr, Yi = _cdot128(xr_ref[:].reshape(bt * m, _N1),
-                          xi_ref[:].reshape(bt * m, _N1),
+        Yr, Yi = _cdot128(xr.reshape(bt * m, _N1),
+                          xi.reshape(bt * m, _N1),
                           dr_ref[:], di_ref[:])
         yr = Yr.reshape(bt, m, _N1)
         yi = Yi.reshape(bt, m, _N1)
@@ -264,6 +270,28 @@ def _make_kernel(n: int, inverse: bool, bt: int):
         or_ref[:] = sr
         oi_ref[:] = si
 
+    def inv_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref, t1i_ref,
+                   twr_ref, twi_ref, or_ref, oi_ref):
+        _inv_body(xr_ref[:], xi_ref[:], dr_ref, di_ref, t1r_ref,
+                  t1i_ref, twr_ref, twi_ref, or_ref, oi_ref)
+
+    def filter_inv_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref,
+                          t1i_ref, twr_ref, twi_ref, fr_ref, fi_ref,
+                          or_ref, oi_ref):
+        # spectral multiply fused into the inverse prologue: the filter
+        # tables arrive in the SAME permuted (k2, k1) layout as the
+        # forward kernel's output — (1, m, 128) blocks broadcasting
+        # over the batch tile — so the whole fwd+filter+inv pipeline
+        # runs with zero transposes and zero standalone FMA passes
+        fr = fr_ref[:]
+        fi = fi_ref[:]
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        _inv_body(xr * fr - xi * fi, xr * fi + xi * fr, dr_ref, di_ref,
+                  t1r_ref, t1i_ref, twr_ref, twi_ref, or_ref, oi_ref)
+
+    if inverse == "filter":
+        return filter_inv_kernel
     return inv_kernel if inverse else fwd_kernel
 
 
@@ -316,6 +344,146 @@ def sfft_stream_pallas_permuted(xr, xi, n: int, inverse: bool,
     xi2 = xi.reshape(-1, n // _N1, _N1)
     yr, yi = _stream_pallas_2d(xr2, xi2, n, inverse, rows)
     return yr.reshape(shape), yi.reshape(shape)
+
+
+@functools.partial(jax.jit, static_argnums=(4, 5))
+def _stream_filter_inv_2d(xr, xi, fpr, fpi, n: int, rows: int = 0):
+    """Inverse-with-fused-filter: permuted (b, m, 128) spectrum planes
+    and permuted (s, m, 128) filter tables -> natural (b, m, 128)
+    planes.  Identical to filter-multiply + _stream_pallas_2d(inverse)
+    but the multiply runs in VMEM inside the kernel (no standalone HBM
+    pass).
+
+    ``s = fpr.shape[0]`` > 1 supports the split pipeline: batch rows
+    are (pair, k1)-ordered with k1 fastest, and row i uses filter slice
+    k1 = i % s (requires bt == 1, which always holds in the split
+    regime since splitting only fires for m = _MAX_M tiles)."""
+    b = xr.shape[0]
+    m = n // _N1
+    s = fpr.shape[0]
+    bt = 1 if s > 1 else _tile_batch(m, rows)
+    bp = -(-b // bt) * bt
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+    kernel = _make_kernel(n, "filter", bt)
+    tabs = [jnp.asarray(t) for t in _tables(n, True)]
+    interp = jax.default_backend() != "tpu"
+    ms = pl.ANY if interp else pltpu.VMEM
+    blk = pl.BlockSpec((bt, m, _N1), lambda i: (i, 0, 0),
+                       memory_space=ms)
+    tw = pl.BlockSpec(memory_space=ms)
+    fb = pl.BlockSpec((1, m, _N1), lambda i: (i % s, 0, 0),
+                      memory_space=ms)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[blk, blk] + [tw] * len(tabs) + [fb, fb],
+        out_specs=[blk, blk],
+        out_shape=[jax.ShapeDtypeStruct((bp, m, _N1), xr.dtype)] * 2,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xr, xi, *tabs, fpr, fpi)
+    return yr[:b], yi[:b]
+
+
+def _filter_split_factor(n: int):
+    """Smallest split s (1, 2, 4) putting the inner transform within
+    the kernel's whole-transform VMEM budget, or None."""
+    if n % _N1:
+        return None
+    for s in (1, 2, 4):
+        if n % (s * _N1) == 0:
+            m = n // (s * _N1)
+            if m <= _MAX_M and _stage_plan(m) is not None:
+                return s
+    return None
+
+
+def stream_filter_eligible(n: int, dtype) -> bool:
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    return _filter_split_factor(n) is not None
+
+
+@functools.lru_cache(maxsize=16)
+def _split_twiddle(n: int, s: int):
+    """Split twiddle W_n^{k1 j2} as (s, m, 128) f32 planes (j2 natural
+    rows: j2 = 128 q + r)."""
+    n_in = n // s
+    k1 = np.arange(s)[:, None]
+    j2 = np.arange(n_in)[None, :]
+    t = np.exp(-2j * np.pi * k1 * j2 / n).reshape(s, n_in // _N1, _N1)
+    return t.real.astype(np.float32), t.imag.astype(np.float32)
+
+
+def sfilter_stream_pallas(x, ffr, ffi, n: int, rows: int = 0):
+    """Fused real spectral filter for the huge-n streaming regime:
+    returns ``sirfft(srfft(x) * F)`` (i.e. n * filtered x, unscaled)
+    for real ``x`` with an EVEN flat batch.
+
+    ``(ffr, ffi)`` is the FULL n-bin conjugate-symmetric extension of
+    the filter (F[k] for k <= n/2, conj(F[n-k]) above).
+
+    Pipeline (the zero-transpose shape the permuted layout was built
+    for): pack adjacent batch rows z = x[2r] + i*x[2r+1] (sublane
+    slice, no lane deinterleave), stream-kernel forward to the permuted
+    spectrum, elementwise F-multiply fused into the inverse kernel's
+    prologue (F permuted once to match), stream-kernel inverse back to
+    natural order, unpack rows.  Because the filter extension is
+    conjugate-symmetric, U' + iV' = F(U + iV) bin-by-bin, so the
+    paired rows decode to the filtered reals exactly (classic
+    two-for-one identity; reference hot path vargamma.c:42-106).
+
+    For n past the kernel's whole-transform VMEM budget (m > _MAX_M,
+    e.g. the 2^20 pricer grid) the transform splits s ways:
+    z[j1*n_in + j2] as (s, n_in), an s-point DFT over j1 (XLA
+    butterfly fused with the split twiddle W_n^{k1 j2}), inner stream
+    FFTs over j2 at batch P*s, per-k1 filter slices indexed by the
+    kernel grid, and the mirrored inverse — still zero transposes
+    (the k1 axis lives in sublane-friendly leading position
+    throughout).  Total HBM traffic: 4 passes unsplit, 8 split, vs
+    ~10+ (with relayouts) for the deinterleave + merge-FMA +
+    interleave composition.
+    """
+    lead = x.shape[:-1]
+    B = 1
+    for d in lead:
+        B *= int(d)
+    if B % 2:
+        raise ValueError("sfilter_stream_pallas: flat batch must be even")
+    s = _filter_split_factor(n)
+    if s is None:
+        raise ValueError(f"sfilter_stream_pallas: n={n} not eligible")
+    n_in = n // s
+    m = n_in // _N1
+    P = B // 2
+    xp = x.reshape(P, 2, s, m, _N1)
+    zr, zi = xp[:, 0], xp[:, 1]                      # (P, s, m, 128)
+    if s > 1:
+        from .core import _butterfly
+        zr, zi = _butterfly(zr, zi, s, inverse=False, axis=1)
+        twr, twi = (jnp.asarray(t) for t in _split_twiddle(n, s))
+        zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
+    Zr, Zi = _stream_pallas_2d(zr.reshape(P * s, m, _N1),
+                               zi.reshape(P * s, m, _N1),
+                               n_in, False, rows)
+    # filter tables: k = k1 + s*(row + m*lane) -> (s, m, 128) slices
+    fpr = jnp.transpose(ffr.reshape(_N1, m, s), (2, 1, 0))
+    fpi = jnp.transpose(ffi.reshape(_N1, m, s), (2, 1, 0))
+    wr, wi = _stream_filter_inv_2d(Zr, Zi, fpr, fpi, n_in, rows)
+    wr = wr.reshape(P, s, m, _N1)
+    wi = wi.reshape(P, s, m, _N1)
+    if s > 1:
+        twr, twi = (jnp.asarray(t) for t in _split_twiddle(n, s))
+        ur = wr * twr + wi * twi                     # conj twiddle
+        ui = wi * twr - wr * twi
+        from .core import _butterfly
+        wr, wi = _butterfly(ur, ui, s, inverse=True, axis=1)
+    out = jnp.stack([wr.reshape(P, n), wi.reshape(P, n)], axis=1)
+    return out.reshape(lead + (n,))
 
 
 def sfft_stream_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):

@@ -265,9 +265,87 @@ def _rfilter_tables(n: int):
             B * (1 + 1j * w) / 2, B * (1 - 1j * w) / 2)
 
 
+def _use_stream_filter(x, fr, fi, n: int) -> bool:
+    """Trace-time gate for the fused streaming-filter pipeline: TPU
+    backend, stream-kernel-eligible n in its measured win region, even
+    flat batch to pair, and an unbatched (shared) filter."""
+    import jax as _jax
+    if _jax.default_backend() != "tpu":
+        return False
+    from .pallas_stream import stream_filter_eligible
+    if not stream_filter_eligible(n, x.dtype):
+        return False
+    if fr.ndim != 1 or fi.ndim != 1:
+        return False
+    B = 1
+    for d in x.shape[:-1]:
+        B *= int(d)
+    if B % 2 or B < 2:
+        return False
+    # measured win region (stream_filter_bench, v5e): 1.6-4x for
+    # n >= 65536 with >= 2^22 total elements; LOSES 1.2x at
+    # (32768, 256) where the half-length composition stays in the
+    # XLA engines' comfort zone
+    return n >= 65536 and B * n >= (1 << 22)
+
+
+def _rfilter_stream(x, fr, fi, n: int):
+    """Huge-n streaming-regime filter: batch-pair pack + permuted
+    stream kernels with the F-multiply fused into the inverse kernel's
+    prologue — zero transposes, zero deinterleave/merge/interleave
+    passes (win region measured in benchmarks/stream_filter_bench.py;
+    see BASELINE.md "Streaming filter pipeline")."""
+    from .pallas_stream import sfilter_stream_pallas
+    h = n // 2
+    ffr = jnp.concatenate([fr, fr[1:h][::-1]])
+    ffi = jnp.concatenate([fi, -fi[1:h][::-1]])
+    return sfilter_stream_pallas(x, ffr, ffi, n)
+
+
+def _rfilter_fused_xla(x, fr, fi, n: int):
+    """Round-2 fused XLA filter body (even n): deinterleave -> one n/2
+    complex FFT -> one half-spectrum FMA -> inverse FFT -> interleave."""
+    from . import core
+    h = n // 2
+    zr = x[..., 0::2]
+    zi = x[..., 1::2]
+    Zr, Zi = core.sfft(zr, zi, h, inverse=False)
+    # in-graph P, Q from the (traced) filter and host tables
+    c1, c2, c3, c4 = _rfilter_tables(n)
+    c1r, c1i = _t(c1.real, x.dtype), _t(c1.imag, x.dtype)
+    c2r, c2i = _t(c2.real, x.dtype), _t(c2.imag, x.dtype)
+    c3r, c3i = _t(c3.real, x.dtype), _t(c3.imag, x.dtype)
+    c4r, c4i = _t(c4.real, x.dtype), _t(c4.imag, x.dtype)
+    Fr, Fi = fr[..., :h], fi[..., :h]
+    # conj(Fm): Fm_k = F_{h-k}, k = 0..h-1
+    Fmr = fr[..., 1:][..., ::-1]
+    Fmi = -fi[..., 1:][..., ::-1]
+    Pr = c1r * Fr - c1i * Fi + c3r * Fmr - c3i * Fmi
+    Pi = c1r * Fi + c1i * Fr + c3r * Fmi + c3i * Fmr
+    Qr = c2r * Fr - c2i * Fi + c4r * Fmr - c4i * Fmi
+    Qi = c2r * Fi + c2i * Fr + c4r * Fmi + c4i * Fmr
+    # Z' = P*Z + Q*conj(Zm); mirror via slice+flip (fuses into FMA)
+    def zmul(pr, pi, qr, qi, Ar, Ai, Br, Bi):
+        # (pr+ipi)(Ar+iAi) + (qr+iqi)(Br-iBi)
+        re = pr * Ar - pi * Ai + qr * Br + qi * Bi
+        im = pr * Ai + pi * Ar + qi * Br - qr * Bi
+        return re, im
+    Z0r, Z0i = zmul(Pr[..., :1], Pi[..., :1], Qr[..., :1],
+                    Qi[..., :1], Zr[..., :1], Zi[..., :1],
+                    Zr[..., :1], Zi[..., :1])
+    Zcr_, Zci_ = zmul(Pr[..., 1:], Pi[..., 1:], Qr[..., 1:],
+                      Qi[..., 1:], Zr[..., 1:], Zi[..., 1:],
+                      Zr[..., 1:][..., ::-1], Zi[..., 1:][..., ::-1])
+    Zpr = jnp.concatenate([Z0r, Zcr_], axis=-1)
+    Zpi = jnp.concatenate([Z0i, Zci_], axis=-1)
+    wr_, wi_ = core.sfft(Zpr, Zpi, h, inverse=True)
+    return core._interleave(wr_, wi_)
+
+
 def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
     """Fused irfft(rfft(x) * F): deinterleave -> one n/2 complex FFT ->
-    one half-spectrum FMA -> inverse FFT -> interleave.
+    one half-spectrum FMA -> inverse FFT -> interleave; huge-n shapes
+    dispatch to the zero-transpose streaming pipeline (_rfilter_stream).
 
     Skips the packed-spectrum merge AND un-merge (each a full memory
     pass on TPU) of the rfft -> multiply -> irfft composition — the
@@ -294,41 +372,10 @@ def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
         tr = yr * fr - yi * fi
         ti = yr * fi + yi * fr
         out = core.sirfft(tr, ti, n)
+    elif _use_stream_filter(x, fr, fi, n):
+        out = _rfilter_stream(x, fr, fi, n)
     else:
-        h = n // 2
-        zr = x[..., 0::2]
-        zi = x[..., 1::2]
-        Zr, Zi = core.sfft(zr, zi, h, inverse=False)
-        # in-graph P, Q from the (traced) filter and host tables
-        c1, c2, c3, c4 = _rfilter_tables(n)
-        c1r, c1i = _t(c1.real, x.dtype), _t(c1.imag, x.dtype)
-        c2r, c2i = _t(c2.real, x.dtype), _t(c2.imag, x.dtype)
-        c3r, c3i = _t(c3.real, x.dtype), _t(c3.imag, x.dtype)
-        c4r, c4i = _t(c4.real, x.dtype), _t(c4.imag, x.dtype)
-        Fr, Fi = fr[..., :h], fi[..., :h]
-        # conj(Fm): Fm_k = F_{h-k}, k = 0..h-1
-        Fmr = fr[..., 1:][..., ::-1]
-        Fmi = -fi[..., 1:][..., ::-1]
-        Pr = c1r * Fr - c1i * Fi + c3r * Fmr - c3i * Fmi
-        Pi = c1r * Fi + c1i * Fr + c3r * Fmi + c3i * Fmr
-        Qr = c2r * Fr - c2i * Fi + c4r * Fmr - c4i * Fmi
-        Qi = c2r * Fi + c2i * Fr + c4r * Fmi + c4i * Fmr
-        # Z' = P*Z + Q*conj(Zm); mirror via slice+flip (fuses into FMA)
-        def zmul(pr, pi, qr, qi, Ar, Ai, Br, Bi):
-            # (pr+ipi)(Ar+iAi) + (qr+iqi)(Br-iBi)
-            re = pr * Ar - pi * Ai + qr * Br + qi * Bi
-            im = pr * Ai + pi * Ar + qi * Br - qr * Bi
-            return re, im
-        Z0r, Z0i = zmul(Pr[..., :1], Pi[..., :1], Qr[..., :1],
-                        Qi[..., :1], Zr[..., :1], Zi[..., :1],
-                        Zr[..., :1], Zi[..., :1])
-        Zcr_, Zci_ = zmul(Pr[..., 1:], Pi[..., 1:], Qr[..., 1:],
-                          Qi[..., 1:], Zr[..., 1:], Zi[..., 1:],
-                          Zr[..., 1:][..., ::-1], Zi[..., 1:][..., ::-1])
-        Zpr = jnp.concatenate([Z0r, Zcr_], axis=-1)
-        Zpi = jnp.concatenate([Z0i, Zci_], axis=-1)
-        wr_, wi_ = core.sfft(Zpr, Zpi, h, inverse=True)
-        out = core._interleave(wr_, wi_)
+        out = _rfilter_fused_xla(x, fr, fi, n)
     # the unscaled pipeline is sirfft(srfft(x)*F); the public
     # composition applies fwd_scale then inv_scale on top
     if s != 1.0:

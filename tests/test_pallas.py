@@ -156,3 +156,82 @@ def test_stream_kernel_mixed_radix():
         zr, zi = sfft_stream_pallas(yr, yi, n, True)
         back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
         np.testing.assert_allclose(back, xr + 1j * xi, atol=5e-5)
+
+
+def test_stream_filter_pipeline():
+    """Fused streaming filter (sfilter_stream_pallas): batch-pair pack
+    + permuted fwd + in-kernel F-multiply + permuted inverse must equal
+    the sirfft(srfft(x) * F) composition exactly (the unscaled
+    rfilter contract) — interpret mode; on-chip A/B in
+    benchmarks/filter_bench.py."""
+    from cfftpack_tpu.ops import core
+    from cfftpack_tpu.ops.pallas_stream import sfilter_stream_pallas
+    n = 2048
+    h = n // 2
+    r = np.random.default_rng(21)
+    x = r.standard_normal((4, n)).astype(np.float32)
+    F = (r.standard_normal(h + 1) + 1j * r.standard_normal(h + 1))
+    F[0] = F[0].real        # real DC/Nyquist: a real-filter spectrum
+    F[-1] = F[-1].real
+    fr = F.real.astype(np.float32)
+    fi = F.imag.astype(np.float32)
+    # reference: composition through the split engine
+    yr, yi = core.srfft(jnp.asarray(x), n)
+    tr = yr * fr - yi * fi
+    ti = yr * fi + yi * fr
+    want = np.asarray(core.sirfft(tr, ti, n))
+    # fused: full conjugate-symmetric extension, paired stream kernels
+    ffr = np.concatenate([fr, fr[1:h][::-1]])
+    ffi = np.concatenate([fi, -fi[1:h][::-1]])
+    got = np.asarray(sfilter_stream_pallas(
+        jnp.asarray(x), jnp.asarray(ffr), jnp.asarray(ffi), n))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-6
+
+
+def test_stream_filter_odd_batch_rejected():
+    from cfftpack_tpu.ops.pallas_stream import sfilter_stream_pallas
+    x = jnp.zeros((3, 2048), jnp.float32)
+    f = jnp.zeros((2048,), jnp.float32)
+    with pytest.raises(ValueError, match="even"):
+        sfilter_stream_pallas(x, f, f, 2048)
+
+
+def test_stream_filter_split_pipeline(monkeypatch):
+    """Split variant (m > _MAX_M): s-point outer butterfly + split
+    twiddle + per-k1 filter slices must still equal the composition.
+    _MAX_M is patched down so the split engages at a test-sized n."""
+    import cfftpack_tpu.ops.pallas_stream as ps
+    from cfftpack_tpu.ops import core
+    monkeypatch.setattr(ps, "_MAX_M", 16)
+    n = 4096                            # m=32 > 16 -> s=2, m_in=16
+    assert ps._filter_split_factor(n) == 2
+    h = n // 2
+    r = np.random.default_rng(31)
+    x = r.standard_normal((4, n)).astype(np.float32)
+    F = (r.standard_normal(h + 1) + 1j * r.standard_normal(h + 1))
+    F[0] = F[0].real
+    F[-1] = F[-1].real
+    fr = F.real.astype(np.float32)
+    fi = F.imag.astype(np.float32)
+    yr, yi = core.srfft(jnp.asarray(x), n)
+    tr = yr * fr - yi * fi
+    ti = yr * fi + yi * fr
+    want = np.asarray(core.sirfft(tr, ti, n))
+    ffr = np.concatenate([fr, fr[1:h][::-1]])
+    ffi = np.concatenate([fi, -fi[1:h][::-1]])
+    got = np.asarray(ps.sfilter_stream_pallas(
+        jnp.asarray(x), jnp.asarray(ffr), jnp.asarray(ffi), n))
+    scale = np.abs(want).max()
+    assert np.abs(got - want).max() / scale < 5e-6
+
+
+def test_stream_filter_split_factor_table():
+    from cfftpack_tpu.ops.pallas_stream import (_filter_split_factor,
+                                                _MAX_M)
+    assert _filter_split_factor(65536) == 1
+    assert _filter_split_factor(524288) == 1          # m = 4096
+    assert _filter_split_factor(1048576) == 2         # m = 8192
+    assert _filter_split_factor(2097152) == 4
+    assert _filter_split_factor(4194304) is None      # beyond s=4
+    assert _filter_split_factor(1000) is None
