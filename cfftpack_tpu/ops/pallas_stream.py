@@ -486,6 +486,57 @@ def sfilter_stream_pallas(x, ffr, ffi, n: int, rows: int = 0):
     return out.reshape(lead + (n,))
 
 
+def sfft_stream_split(xr, xi, n: int, inverse: bool, rows: int = 0):
+    """Natural-order streaming FFT for n PAST the kernel's
+    whole-transform VMEM budget (m > _MAX_M): split n = s * n_in
+    (s = _filter_split_factor), s-point XLA butterfly + split twiddle
+    around inner stream-kernel FFTs at s-fold batch.
+
+    Same contract as sfft_stream_pallas (natural in/out; inverse is
+    the unscaled conjugate transform).  Costs one XLA digit-riffle
+    transpose on the spectrum side (fwd: output assembly
+    X[k1 + s*(row + m*lane)]; inv: the mirror-image decode) — three
+    HBM read/write pairs total vs one for the in-budget kernel.
+    """
+    s = _filter_split_factor(n)
+    if s is None or s == 1:
+        return sfft_stream_pallas(xr, xi, n, inverse, rows)
+    from .core import _butterfly
+    n_in = n // s
+    m = n_in // _N1
+    shape = xr.shape
+    b = 1
+    for d in shape[:-1]:
+        b *= int(d)
+    twr, twi = (jnp.asarray(t) for t in _split_twiddle(n, s))
+    if not inverse:
+        zr = xr.reshape(b, s, m, _N1)
+        zi = xi.reshape(b, s, m, _N1)
+        zr, zi = _butterfly(zr, zi, s, inverse=False, axis=1)
+        zr, zi = zr * twr - zi * twi, zr * twi + zi * twr
+        Cr, Ci = _stream_pallas_2d(zr.reshape(b * s, m, _N1),
+                                   zi.reshape(b * s, m, _N1),
+                                   n_in, False, rows)
+        # natural assembly: X[k1 + s*row + s*m*lane] -> (b, lane, row, k1)
+        Cr = Cr.reshape(b, s, m, _N1)
+        Ci = Ci.reshape(b, s, m, _N1)
+        yr = jnp.transpose(Cr, (0, 3, 2, 1)).reshape(shape)
+        yi = jnp.transpose(Ci, (0, 3, 2, 1)).reshape(shape)
+        return yr, yi
+    # inverse: decode natural spectrum into (k1, permuted-k2) tiles
+    Cr = jnp.transpose(xr.reshape(b, _N1, m, s), (0, 3, 2, 1))
+    Ci = jnp.transpose(xi.reshape(b, _N1, m, s), (0, 3, 2, 1))
+    wr, wi = _stream_pallas_2d(Cr.reshape(b * s, m, _N1),
+                               Ci.reshape(b * s, m, _N1),
+                               n_in, True, rows)
+    wr = wr.reshape(b, s, m, _N1)
+    wi = wi.reshape(b, s, m, _N1)
+    ur = wr * twr + wi * twi                          # conj twiddle
+    ui = wi * twr - wr * twi
+    zr, zi = _butterfly(ur, ui, s, inverse=True, axis=1)
+    return zr.reshape(shape), zi.reshape(shape)
+
+
 def sfft_stream_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):
     """Natural-order streaming FFT over the last axis (core.sfft
     contract).  Costs ONE XLA transpose pass on the permuted side —

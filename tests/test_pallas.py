@@ -235,3 +235,31 @@ def test_stream_filter_split_factor_table():
     assert _filter_split_factor(2097152) == 4
     assert _filter_split_factor(4194304) is None      # beyond s=4
     assert _filter_split_factor(1000) is None
+
+
+def test_stream_split_complex_fft(monkeypatch):
+    """Natural-order split-stream FFT (sfft_stream_split): s-point
+    outer butterfly around inner stream kernels must match numpy for
+    forward, inverse, and roundtrip."""
+    import cfftpack_tpu.ops.pallas_stream as ps
+    monkeypatch.setattr(ps, "_MAX_M", 16)
+    n = 4096                                # m=32 -> s=2
+    xr, xi = rng_pair((3, n), seed=41)
+    yr, yi = ps.sfft_stream_split(jnp.asarray(xr), jnp.asarray(xi), n,
+                                  False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fft(xr + 1j * xi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    zr, zi = ps.sfft_stream_split(yr, yi, n, True)
+    back = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    np.testing.assert_allclose(back, xr + 1j * xi, atol=5e-5)
+    # s=4 leg (m=64 > 16, m/2=32 > 16, m/4=16 ok)
+    monkeypatch.setattr(ps, "_MAX_M", 16)
+    n4 = 8192
+    assert ps._filter_split_factor(n4) == 4
+    xr4, xi4 = rng_pair((2, n4), seed=43)
+    yr4, yi4 = ps.sfft_stream_split(jnp.asarray(xr4), jnp.asarray(xi4),
+                                    n4, False)
+    got4 = np.asarray(yr4) + 1j * np.asarray(yi4)
+    want4 = np.fft.fft(xr4 + 1j * xi4)
+    assert np.abs(got4 - want4).max() / np.abs(want4).max() < 5e-6
