@@ -499,7 +499,12 @@ def sfft_stream_split(xr, xi, n: int, inverse: bool, rows: int = 0):
     HBM read/write pairs total vs one for the in-budget kernel.
     """
     s = _filter_split_factor(n)
-    if s is None or s == 1:
+    if s is None:
+        raise ValueError(
+            f"sfft_stream_split: n={n} is not stream-split eligible "
+            f"(needs n = s*128*m with s in {{1,2,4}}, m <= {_MAX_M} a "
+            f"5-smooth multiple of {_TAIL})")
+    if s == 1:
         return sfft_stream_pallas(xr, xi, n, inverse, rows)
     from .core import _butterfly
     n_in = n // s

@@ -268,7 +268,14 @@ def _rfilter_tables(n: int):
 def _use_stream_filter(x, fr, fi, n: int) -> bool:
     """Trace-time gate for the fused streaming-filter pipeline: TPU
     backend, stream-kernel-eligible n in its measured win region, even
-    flat batch to pair, and an unbatched (shared) filter."""
+    flat batch to pair, and an unbatched (shared) filter.
+
+    NOTE: the stream path's conjugate-symmetric filter extension
+    assumes real DC/Nyquist bins (fi[0] == fi[n//2] == 0, the rfft of
+    a real filter — rfilter_split's documented contract).  A complex
+    DC/Nyquist bin would make this dispatch diverge from the
+    _rfilter_fused_xla composition (values are traced, so the gate
+    cannot check them)."""
     import jax as _jax
     if _jax.default_backend() != "tpu":
         return False
@@ -400,6 +407,14 @@ def rfilter_split(x, fr, fi, axis: int = -1, norm: str = DEFAULT_NORM):
     ``irfft_split(*{rfft_split(x) complex-multiplied by F}, n)`` for
     every norm, but runs one half-length FFT + one fused FMA + one
     inverse — no packed-spectrum merge/un-merge passes.
+
+    The filter's DC and (even n) Nyquist bins must be REAL
+    (``fi[0] == fi[n//2] == 0``) — always true for the rfft of a real
+    filter, which is this function's contract.  The huge-n streaming
+    dispatch (``_rfilter_stream``) extends F conjugate-symmetrically
+    and relies on that symmetry for its two-for-one batch-pair decode;
+    a complex DC/Nyquist bin would silently diverge from the
+    composition there (the imag parts cross-mix the paired rows).
     """
     return _rfilter_split_jit(x, fr, fi, axis, check_norm(norm))
 

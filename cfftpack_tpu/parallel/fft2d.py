@@ -43,7 +43,7 @@ def _fft2_sharded(x, mesh, axis_name, inverse, norm, batch_axis_name=None):
     n0, n1 = x.shape[-2], x.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d or n1 % d:
-        raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
+        raise ValueError(f"2-D shape ({n0},{n1}) must be divisible by mesh size {d}")
     lead = len(x.shape[:-2])
     ls = [None] * lead
     if batch_axis_name is not None and lead:
@@ -105,7 +105,7 @@ def _fft2_sharded_pair(xr, xi, mesh, axis_name, inverse, norm,
     n0, n1 = xr.shape[-2], xr.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d or n1 % d:
-        raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
+        raise ValueError(f"2-D shape ({n0},{n1}) must be divisible by mesh size {d}")
     lead = xr.ndim - 2
     ls = [None] * lead
     if batch_axis_name is not None and lead:
@@ -210,7 +210,7 @@ def _rfft2_sharded_pair(x, mesh, axis_name, norm, batch_axis_name=None):
     n0, n1 = x.shape[-2], x.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d:
-        raise ValueError(f"row count {n0} must divide mesh size {d}")
+        raise ValueError(f"row count {n0} must be divisible by mesh size {d}")
     hp = -(-(n1 // 2 + 1) // d) * d               # pad bins to mult of D
     lead = x.ndim - 2
     ls = [None] * lead
@@ -243,7 +243,7 @@ def _irfft2_sharded_pair(yr, yi, n1, mesh, axis_name, norm,
             f"expected n1//2+1 = {n1 // 2 + 1} for n1={n1}")
     d = mesh.shape[axis_name]
     if n0 % d:
-        raise ValueError(f"row count {n0} must divide mesh size {d}")
+        raise ValueError(f"row count {n0} must be divisible by mesh size {d}")
     hp = -(-(n1 // 2 + 1) // d) * d
     lead = yr.ndim - 2
     ls = [None] * lead

@@ -41,7 +41,7 @@ def _rowcol_impl(x, mesh, row_fn, col_fn, axis_name, batch_axis_name):
     n0, n1 = x.shape[-2], x.shape[-1]
     d = mesh.shape[axis_name]
     if n0 % d or n1 % d:
-        raise ValueError(f"2-D shape ({n0},{n1}) must divide mesh size {d}")
+        raise ValueError(f"2-D shape ({n0},{n1}) must be divisible by mesh size {d}")
     lead = x.ndim - 2
     ls = [None] * lead
     if batch_axis_name is not None and lead:

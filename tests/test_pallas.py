@@ -163,7 +163,7 @@ def test_stream_filter_pipeline():
     + permuted fwd + in-kernel F-multiply + permuted inverse must equal
     the sirfft(srfft(x) * F) composition exactly (the unscaled
     rfilter contract) — interpret mode; on-chip A/B in
-    benchmarks/filter_bench.py."""
+    benchmarks/stream_filter_bench.py."""
     from cfftpack_tpu.ops import core
     from cfftpack_tpu.ops.pallas_stream import sfilter_stream_pallas
     n = 2048
