@@ -1,4 +1,4 @@
-"""Benchmark: batched 1-D FFT throughput vs HBM roofline on one chip.
+"""Benchmark: batched 1-D FFT vs HBM roofline across the TARGET RANGE.
 
 Run with the ambient environment (real TPU via the axon tunnel when
 present; falls back to CPU).  Prints ONE JSON line:
@@ -6,23 +6,32 @@ present; falls back to CPU).  Prints ONE JSON line:
     {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
 
 value       = transforms/s for batched split-complex f32 len-1024 FFT
-              (BASELINE.json configs[0] shape: batch 4096), measured as
-              half a fwd+inv round-trip.
-vs_baseline = value / HBM-roofline transforms/s, where the roofline is
-              the chip's measured streaming bandwidth (elementwise add
-              over a larger-than-VMEM array) divided by the ideal FFT
-              traffic of 2*n*8 bytes/transform (one read + one write
-              of both f32 planes).  Target: >=0.80 (BASELINE.md).
+              (BASELINE.json configs[0] shape: batch 4096).
+vs_baseline = GEOMEAN over the BASELINE target range
+              (n = 1024/4096/16384/65536 at 2^22-elem working sets) of
+              the per-size roofline fraction
+
+                  frac(n) = ideal_bytes / t_fwd / bw_hbm
+
+              where ideal_bytes = 2*n*8 per transform (one read + one
+              write of both f32 planes) and bw_hbm is the chip's
+              measured streaming bandwidth (elementwise add over a
+              larger-than-VMEM array).  Unlike rounds 1-3 (which
+              reported only the flagship n=1024 point, the BEST point
+              of the range), this headline moves when ANY target size
+              regresses (round-3 verdict "What's weak" item 1).
+              Per-size fractions are in detail.roofline_frac.
 
 Uses the split (re, im) API — the TPU-native path (the XLA TPU backend
 rejects complex dtypes; split planes are the Pallas layout).
 
 Timing: each measurement is ONE jitted lax.fori_loop chaining `reps`
-dependent applications, output materialized on the host; per-iteration
-cost is the slope between two loop lengths.  This cancels dispatch and
-transfer overhead and defeats the axon tunnel's unreliable
-block_until_ready.  The HBM probe uses a >VMEM working set so it
-cannot be satisfied from VMEM residency.
+dependent applications of a SINGLE forward transform with the
+magnitude-preserving ortho norm, output materialized on the host;
+per-iteration cost is the slope between two loop lengths.  This
+cancels dispatch and transfer overhead, defeats the axon tunnel's
+unreliable block_until_ready, and avoids the multi-kernel-body slope
+artifacts recorded in BASELINE.md "Bench protocol" (round 3).
 """
 from __future__ import annotations
 
@@ -30,6 +39,9 @@ import json
 import time
 
 import numpy as np
+
+# (n, batch): BASELINE.json target range, ~2^22-element working sets
+TARGET_RANGE = ((1024, 4096), (4096, 1024), (16384, 256), (65536, 256))
 
 
 def _loop_time(body, state, reps: int) -> float:
@@ -61,19 +73,7 @@ def main():
     import jax.numpy as jnp
     import cfftpack_tpu as ct
 
-    n = 1024
-    batch = 4096
     r = np.random.default_rng(0)
-    xr = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
-    xi = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
-
-    def roundtrip(s):
-        a, b = ct.fft_split(s[0], s[1])
-        return ct.ifft_split(a, b)
-
-    t_rt = _per_iter(roundtrip, (xr, xi), lo=4, hi=404)
-    t_fft = t_rt / 2.0
-    transforms_per_s = batch / t_fft
 
     # Secondary measurements are best-effort: a flaky remote tunnel must
     # not cost the primary metric.
@@ -100,17 +100,54 @@ def main():
                      "TPU v6 lite": 1640e9, "TPU v6e": 1640e9}
         bw_hbm = _HBM_SPEC.get(jax.devices()[0].device_kind)
 
-    bytes_per_transform = 2 * n * 8              # rw of both f32 planes
-    roofline_tps = (None if bw_hbm is None
-                    else bw_hbm / bytes_per_transform)
+    # forward-only ortho chains over the target range
+    t_fwd = {}
+    for n, batch in TARGET_RANGE:
+        def _one(n=n, batch=batch):
+            ar = jnp.asarray(
+                r.standard_normal((batch, n)).astype(np.float32))
+            ai = jnp.asarray(
+                r.standard_normal((batch, n)).astype(np.float32))
+            lo, hi = (4, 404) if n <= 1024 else (
+                (4, 204) if n <= 4096 else ((4, 104) if n <= 16384
+                                            else (2, 12)))
+            return _per_iter(
+                lambda s: ct.fft_split(s[0], s[1], norm="ortho"),
+                (ar, ai), lo=lo, hi=hi)
+        t_fwd[n] = _one() if n == 1024 else _try(_one)
+
+    n0, b0 = TARGET_RANGE[0]
+    transforms_per_s = b0 / t_fwd[n0]
+
+    fracs = {}
+    if bw_hbm is not None:
+        for n, _b in TARGET_RANGE:
+            if t_fwd[n] is not None:
+                fracs[n] = (2 * n * 8) / t_fwd[n] / bw_hbm
+    geomean = (None if not fracs else
+               float(np.exp(np.mean(np.log(list(fracs.values()))))))
 
     # secondary kernels (recorded in detail; value stays the FFT metric)
-    v = jnp.asarray(r.standard_normal((batch, n)).astype(np.float32))
+    v = jnp.asarray(r.standard_normal((b0, n0)).astype(np.float32))
     t_rfft = _try(lambda: _per_iter(
-        lambda s: ct.irfft_split(*ct.rfft_split(s), n), v,
+        lambda s: ct.irfft_split(*ct.rfft_split(s), n0), v,
         lo=4, hi=204) / 2.0)
     t_dct2 = _try(lambda: _per_iter(
         lambda s: ct.idct(ct.dct(s, 2), 2), v, lo=4, hi=204) / 2.0)
+
+    # batched 2-D FFT (BASELINE configs[3] class, scaled to one chip):
+    # 1024x1024, batch 4 — fwd-only ortho chain
+    def _fft2():
+        n2, b2 = 1024, 4
+        ar = jnp.asarray(
+            r.standard_normal((b2, n2, n2)).astype(np.float32))
+        ai = jnp.asarray(
+            r.standard_normal((b2, n2, n2)).astype(np.float32))
+        return _per_iter(
+            lambda s: ct.fft2_split(s[0], s[1], norm="ortho"),
+            (ar, ai), lo=2, hi=22)
+
+    t_2d = _try(_fft2)
 
     # double-float (f64-class accuracy) engine: one forward per iter.
     # Quad order is (re_hi, re_lo, im_hi, im_lo); the exact power-of-two
@@ -119,55 +156,46 @@ def main():
     # invariant.
     def _hp():
         from cfftpack_tpu.ops.hp import sfft_hp
-        dn = float(1.0 / np.sqrt(n))
+        dn = float(1.0 / np.sqrt(n0))
         assert dn == 2.0 ** round(np.log2(dn)), "need exact 2^-k rescale"
 
         def body(s):
-            out = sfft_hp(s[0], s[1], s[2], s[3], n, False)
+            out = sfft_hp(s[0], s[1], s[2], s[3], n0, False)
             return tuple(a * np.float32(dn) for a in out)
 
-        quad = (xr, jnp.zeros_like(xr), xi, jnp.zeros_like(xi))
+        ar = jnp.asarray(r.standard_normal((b0, n0)).astype(np.float32))
+        ai = jnp.asarray(r.standard_normal((b0, n0)).astype(np.float32))
+        quad = (ar, jnp.zeros_like(ar), ai, jnp.zeros_like(ai))
         return _per_iter(body, quad, lo=4, hi=24)
 
     t_hp = _try(_hp)
-
-    # huge-working-set regime (round-3 streaming Pallas kernel,
-    # auto-dispatched in core._fft_any): one forward per iter at the
-    # BASELINE huge config (65536, 256)
-    def _huge():
-        nh, bh = 65536, 256
-        hr = jnp.asarray(r.standard_normal((bh, nh)).astype(np.float32))
-        hi_ = jnp.asarray(r.standard_normal((bh, nh)).astype(np.float32))
-        return _per_iter(
-            lambda s: ct.fft_split(s[0], s[1], norm="ortho"),
-            (hr, hi_), lo=2, hi=12)
-
-    t_huge = _try(_huge)
 
     result = {
         "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
         "value": round(transforms_per_s, 1),
         "unit": "transforms/s",
-        "vs_baseline": (None if roofline_tps is None
-                        else round(transforms_per_s / roofline_tps, 4)),
+        "vs_baseline": (None if geomean is None else round(geomean, 4)),
         "detail": {
             "backend": jax.devices()[0].platform,
             "device": jax.devices()[0].device_kind,
-            "batch": batch,
-            "n": n,
-            "t_fft_us": round(t_fft * 1e6, 2),
+            "vs_baseline_def": ("geomean of roofline fractions over "
+                                "n=1024/4096/16384/65536 (2^22-elem "
+                                "working sets), fwd-only ortho chains"),
             "hbm_GBps": None if bw_hbm is None else round(bw_hbm / 1e9, 1),
             "hbm_fallback": hbm_fallback,
-            "roofline_transforms_per_s": (
-                None if roofline_tps is None else round(roofline_tps, 1)),
-            "t_rfft_us": None if t_rfft is None else round(t_rfft * 1e6,
-                                                            2),
-            "t_dct2_us": None if t_dct2 is None else round(t_dct2 * 1e6,
-                                                            2),
-            "t_fft_hp_us": None if t_hp is None else round(t_hp * 1e6,
-                                                           2),
-            "t_fft_65536x256_us": (None if t_huge is None
-                                   else round(t_huge * 1e6, 1)),
+            "t_fwd_us": {str(n): (None if t_fwd[n] is None
+                                  else round(t_fwd[n] * 1e6, 2))
+                         for n, _ in TARGET_RANGE},
+            "roofline_frac": {str(n): round(f, 4)
+                              for n, f in fracs.items()},
+            "t_rfft_us": None if t_rfft is None else round(
+                t_rfft * 1e6, 2),
+            "t_dct2_us": None if t_dct2 is None else round(
+                t_dct2 * 1e6, 2),
+            "t_fft_hp_us": None if t_hp is None else round(
+                t_hp * 1e6, 2),
+            "t_fft2_1024x1024_b4_us": (None if t_2d is None
+                                       else round(t_2d * 1e6, 1)),
         },
     }
     print(json.dumps(result))

@@ -15,7 +15,8 @@ from .ops import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
                   dct, idct, dst, idst, dctn, idctn, dstn, idstn,
                   gdft, igdft, fftshift, ifftshift,
                   fft_split, ifft_split, rfft_split, irfft_split,
-                  rfilter_split,
+                  rfilter_split, fft2_split, ifft2_split,
+                  rfft2_split, irfft2_split,
                   gdft_split, igdft_split,
                   fftfreq, rfftfreq, circular_convolve,
                   fft_hp, ifft_hp, fft2_hp, ifft2_hp, sfft_hp,

@@ -196,7 +196,7 @@ def vg_mc_price_device(S=100.0, K=98.0, sigma=0.12, theta=-0.14, kappa=0.2,
     device grid (each device samples a disjoint PRNG sub-stream and the
     means combine by pmean; the N-point distribution build is
     replicated, it is trivial next to the draw batch).  ``samples``
-    must divide by the mesh device count."""
+    must be divisible by the mesh device count."""
     dx, ph = _vg_grid_setup(sigma, theta, kappa, r, t, n)
     dtype = jnp.dtype(dtype)
     params = tuple(jnp.asarray(v, dtype=dtype) for v in (S, K, r, t))
@@ -266,7 +266,7 @@ def asian_option_qmc_device(S=100.0, K=98.0, sigma=0.17, t=0.25, r=0.02,
     over the WHOLE device grid (device d draws indices start + d*S/D
     ..), so the sharded price estimates the SAME quasi-random point set
     as the single-chip call; pmean combines the shard means.
-    ``samples`` must divide by the mesh device count."""
+    ``samples`` must be divisible by the mesh device count."""
     if steps % 2:
         raise ValueError("steps must be even (DCT-IV path construction)")
     start = samples * run_index + 1

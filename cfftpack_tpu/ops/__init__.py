@@ -1,7 +1,8 @@
 from .cfft import (fft, ifft, fft2, ifft2, fftn, ifftn,  # noqa: F401
-                   fft_split, ifft_split)
+                   fft_split, ifft_split, fft2_split, ifft2_split)
 from .rfft import (rfft, irfft, rfft2, irfft2,  # noqa: F401
-                   rfft_split, irfft_split, rfilter_split)
+                   rfft_split, irfft_split, rfilter_split,
+                   rfft2_split, irfft2_split)
 from .dct import (dct, idct, dst, idst,  # noqa: F401
                   dctn, idctn, dstn, idstn)
 from .gdft import gdft, igdft, gdft_split, igdft_split  # noqa: F401

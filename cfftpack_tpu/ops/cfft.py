@@ -37,7 +37,7 @@ def _hp_last_axis(fn, x, axis: int, **kw):
     return y
 
 __all__ = ["fft", "ifft", "fft2", "ifft2", "fftn", "ifftn",
-           "fft_split", "ifft_split"]
+           "fft_split", "ifft_split", "fft2_split", "ifft2_split"]
 
 
 def _dft_last_axis(x, n: int, inverse: bool):
@@ -226,3 +226,31 @@ def fft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM,
 def ifft_split(xr, xi, axis: int = -1, norm: str = DEFAULT_NORM,
                impl: str = "xla"):
     return _fft_split_jit(xr, xi, axis, check_norm(norm), True, impl)
+
+
+def _fft2_split_core(xr, xi, axes, norm: str, inverse: bool):
+    for ax in axes:
+        xr, xi = _fft_split_impl(xr, xi, ax, norm, inverse)
+    return xr, xi
+
+
+_fft2_split_jit = jax.jit(_fft2_split_core, static_argnums=(2, 3, 4))
+
+
+def fft2_split(xr, xi, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """2-D forward FFT on an (re, im) pair of real arrays — the TPU
+    path for 2-D programs (the XLA TPU backend rejects complex dtypes).
+
+    Row-column order over ``axes``, matching :func:`fft2` (the TPU
+    analog of cfft2f_, /root/reference/cfftpack/fftpack.c:2363-2434);
+    norm is applied per axis exactly as fft2 does.  Sharded multi-chip
+    variant: parallel/fft2d.fft2_sharded_split.
+    """
+    return _fft2_split_jit(xr, xi, tuple(int(a) for a in axes),
+                           check_norm(norm), False)
+
+
+def ifft2_split(xr, xi, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """Inverse of :func:`fft2_split` (fft2c_ analog)."""
+    return _fft2_split_jit(xr, xi, tuple(int(a) for a in axes),
+                           check_norm(norm), True)

@@ -61,7 +61,8 @@ from .core import _C5_1, _C5_2, _S5_1, _S5_2, _SQ3_2
 from .pallas_fourstep import _dft16_rows
 
 __all__ = ["stream_pallas_eligible", "sfft_stream_pallas",
-           "sfft_stream_pallas_permuted", "sfilter_stream_pallas"]
+           "sfft_stream_pallas_permuted", "sfilter_stream_pallas",
+           "mm2_eligible", "sfft_mm2_pallas", "sfft_mm2_pallas_permuted"]
 
 _N1 = 128          # lanes = outer DFT length
 _TAIL = 16
@@ -540,6 +541,186 @@ def sfft_stream_split(xr, xi, n: int, inverse: bool, rows: int = 0):
     ui = wi * twr - wr * twi
     zr, zi = _butterfly(ur, ui, s, inverse=True, axis=1)
     return zr.reshape(shape), zi.reshape(shape)
+
+
+# ------------------------------------------------- two-matmul kernel
+#
+# Round-4 mid-range redesign (VERDICT r03 item 1).  Component probes on
+# v5e (benchmarks/stream_mid_probe.py, STREAM_MID_AB_r04.jsonl) showed
+# that at 2^22-element working sets the stream kernel's cost is ENTIRELY
+# its VPU Stockham stage passes (+180-200us over the 146-151us Pallas
+# copy floor, i.e. ~1 HBM-pass-equivalent PER STAGE), while a full
+# (rows,128)@(128,128) Karatsuba MXU contraction adds only ~30us and an
+# in-kernel swapaxes is free (~copy floor).  So the mid-range kernel
+# does the WHOLE transform as two dense MXU contractions and zero
+# Stockham stages:
+#
+#   n = 128*m, natural tile T[q, r] (sublanes q < m, lanes r < 128):
+#     S[k2, r]  = sum_q T[q, r] W_m^{q k2}     inner m-DFT: transpose ->
+#                                              (bt*128, m) @ D_m -> transpose
+#     Y[k2, r]  = S[k2, r] * W_n^{r k2}        twiddle table (m, 128)
+#     X[k2+m*k1]= sum_r Y[k2, r] W_128^{r k1}  outer: (bt*m,128) @ D_128
+#
+# Permuted output is the same (k2, k1) contract as the stream kernel;
+# natural order is ONE MORE free in-kernel transpose (flat j = m*k1+k2
+# is exactly the (128, m) row-major view of X^T).  The dense inner DFT
+# is mathematically the textbook DFT matrix — exact at HIGHEST
+# precision (same accuracy class as core._dft_axis2_dense).
+_MM2_MAX_M = 256          # MXU contraction length cap for D_m
+
+
+@functools.lru_cache(maxsize=64)
+def _mm2_tables(n: int, inverse: bool):
+    m = n // _N1
+    Dm = plan.dft_matrix(m)
+    D1 = plan.dft_matrix(_N1)
+    sgn = 2j * np.pi if inverse else -2j * np.pi
+    k2 = np.arange(m)[:, None]
+    r = np.arange(_N1)[None, :]
+    t1 = np.exp(sgn * k2 * r / n)
+    if inverse:
+        Dm = np.conj(Dm)
+        D1 = np.conj(D1)
+    f32 = np.float32
+    # Karatsuba needs D.re + D.im; precompute to save a VPU add
+    return (Dm.real.astype(f32), Dm.imag.astype(f32),
+            (Dm.real + Dm.imag).astype(f32),
+            D1.real.astype(f32), D1.imag.astype(f32),
+            (D1.real + D1.imag).astype(f32),
+            t1.real.astype(f32), t1.imag.astype(f32))
+
+
+def mm2_eligible(n: int, dtype) -> bool:
+    return (jnp.dtype(dtype) == jnp.float32 and n % _N1 == 0
+            and 2 <= n // _N1 <= _MM2_MAX_M)
+
+
+def _cdot_kara(Yr, Yi, Dr, Di, Drpi):
+    """Complex (rows, K) @ (K, K) in three real MXU dots."""
+    M1 = jnp.dot(Yr, Dr, **_HI)
+    M2 = jnp.dot(Yi, Di, **_HI)
+    M3 = jnp.dot(Yr + Yi, Drpi, **_HI)
+    return M1 - M2, M3 - M1 - M2
+
+
+def _make_mm2_kernel(n: int, inverse: bool, bt: int, natural_out: bool):
+    m = n // _N1
+
+    def _inner_dot(xr, xi, mr, mi, mrpi):
+        # m-DFT over sublanes: transpose so q is in lanes, dot, put k2
+        # back in sublanes (in-kernel transposes ~= copy floor on v5e)
+        tr = jnp.swapaxes(xr, 1, 2).reshape(bt * _N1, m)
+        ti = jnp.swapaxes(xi, 1, 2).reshape(bt * _N1, m)
+        sr, si = _cdot_kara(tr, ti, mr[:], mi[:], mrpi[:])
+        return (jnp.swapaxes(sr.reshape(bt, _N1, m), 1, 2),
+                jnp.swapaxes(si.reshape(bt, _N1, m), 1, 2))
+
+    def fwd_kernel(xr_ref, xi_ref, mr, mi, mrpi, dr, di, drpi,
+                   t1r_ref, t1i_ref, or_ref, oi_ref):
+        sr, si = _inner_dot(xr_ref[:], xi_ref[:], mr, mi, mrpi)
+        t1r = t1r_ref[:][None]
+        t1i = t1i_ref[:][None]
+        yr = sr * t1r - si * t1i
+        yi = sr * t1i + si * t1r
+        Zr, Zi = _cdot_kara(yr.reshape(bt * m, _N1),
+                            yi.reshape(bt * m, _N1),
+                            dr[:], di[:], drpi[:])
+        Zr = Zr.reshape(bt, m, _N1)
+        Zi = Zi.reshape(bt, m, _N1)
+        if natural_out:
+            or_ref[:] = jnp.swapaxes(Zr, 1, 2)
+            oi_ref[:] = jnp.swapaxes(Zi, 1, 2)
+        else:
+            or_ref[:] = Zr
+            oi_ref[:] = Zi
+
+    def inv_kernel(xr_ref, xi_ref, mr, mi, mrpi, dr, di, drpi,
+                   t1r_ref, t1i_ref, or_ref, oi_ref):
+        # mirror pipeline; input permuted (k2, k1) unless natural_out
+        # (then the NATURAL spectrum arrives as (128, m) tiles = the
+        # permuted layout's free transpose)
+        xr = xr_ref[:]
+        xi = xi_ref[:]
+        if natural_out:
+            xr = jnp.swapaxes(xr, 1, 2)
+            xi = jnp.swapaxes(xi, 1, 2)
+        Yr, Yi = _cdot_kara(xr.reshape(bt * m, _N1),
+                            xi.reshape(bt * m, _N1),
+                            dr[:], di[:], drpi[:])
+        yr = Yr.reshape(bt, m, _N1)
+        yi = Yi.reshape(bt, m, _N1)
+        t1r = t1r_ref[:][None]
+        t1i = t1i_ref[:][None]
+        sr = yr * t1r - yi * t1i
+        si = yr * t1i + yi * t1r
+        or_ref[:], oi_ref[:] = _inner_dot(sr, si, mr, mi, mrpi)
+
+    return inv_kernel if inverse else fwd_kernel
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _mm2_2d(xr, xi, n: int, inverse: bool, natural: bool, rows: int = 0):
+    """Two-matmul kernel over (b, m, 128) planes (natural feed for the
+    forward; permuted or natural spectrum per ``natural``)."""
+    b = xr.shape[0]
+    m = n // _N1
+    bt = _tile_batch(m, rows)
+    bp = -(-b // bt) * bt
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+    kernel = _make_mm2_kernel(n, inverse, bt, natural)
+    tabs = [jnp.asarray(t) for t in _mm2_tables(n, inverse)]
+    interp = jax.default_backend() != "tpu"
+    ms = pl.ANY if interp else pltpu.VMEM
+    in_blk = pl.BlockSpec(
+        (bt, _N1, m) if (inverse and natural) else (bt, m, _N1),
+        lambda i: (i, 0, 0), memory_space=ms)
+    out_blk = pl.BlockSpec(
+        (bt, _N1, m) if (natural and not inverse) else (bt, m, _N1),
+        lambda i: (i, 0, 0), memory_space=ms)
+    oshape = ((bp, _N1, m) if (natural and not inverse)
+              else (bp, m, _N1))
+    tw = pl.BlockSpec(memory_space=ms)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[in_blk, in_blk] + [tw] * len(tabs),
+        out_specs=[out_blk, out_blk],
+        out_shape=[jax.ShapeDtypeStruct(oshape, xr.dtype)] * 2,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xr, xi, *tabs)
+    return yr[:b], yi[:b]
+
+
+def sfft_mm2_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):
+    """Natural-order two-matmul FFT over the last axis (core.sfft
+    contract) — natural in AND out, all layout fixes in-kernel."""
+    shape = xr.shape
+    m = n // _N1
+    if inverse:
+        xr2 = xr.reshape(-1, _N1, m)
+        xi2 = xi.reshape(-1, _N1, m)
+    else:
+        xr2 = xr.reshape(-1, m, _N1)
+        xi2 = xi.reshape(-1, m, _N1)
+    yr, yi = _mm2_2d(xr2, xi2, n, inverse, True, rows)
+    return yr.reshape(shape), yi.reshape(shape)
+
+
+def sfft_mm2_pallas_permuted(xr, xi, n: int, inverse: bool,
+                             rows: int = 0):
+    """Permuted-spectrum two-matmul FFT (same (k2, k1) contract as
+    sfft_stream_pallas_permuted; fwd natural->permuted, inv
+    permuted->natural)."""
+    shape = xr.shape
+    xr2 = xr.reshape(-1, n // _N1, _N1)
+    xi2 = xi.reshape(-1, n // _N1, _N1)
+    yr, yi = _mm2_2d(xr2, xi2, n, inverse, False, rows)
+    return yr.reshape(shape), yi.reshape(shape)
 
 
 def sfft_stream_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):

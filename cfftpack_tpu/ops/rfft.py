@@ -32,7 +32,8 @@ from ..config import (DEFAULT_NORM, check_norm, complex_dtype_of, fwd_scale,
                       hp_route, inv_scale, real_dtype_of)
 from .cfft import _apply_axis, _hp_last_axis
 
-__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfilter_split"]
+__all__ = ["rfft", "irfft", "rfft2", "irfft2", "rfilter_split",
+           "rfft2_split", "irfft2_split"]
 
 
 def _rfft_core(x, n: int):
@@ -429,3 +430,43 @@ def rfft_split(x, axis: int = -1, norm: str = DEFAULT_NORM):
 def irfft_split(yr, yi, n: int, axis: int = -1, norm: str = DEFAULT_NORM):
     """c2r inverse of an (re, im) packed-spectrum pair."""
     return _irfft_split_jit(yr, yi, int(n), axis, check_norm(norm))
+
+
+def _rfft2_split_core(x, axes, norm: str):
+    from .cfft import _fft_split_impl
+    a0, a1 = axes
+    yr, yi = _rfft_split_impl(x, a1, norm)
+    return _fft_split_impl(yr, yi, a0, norm, inverse=False)
+
+
+def _irfft2_split_core(yr, yi, n0_n1, axes, norm: str):
+    from .cfft import _fft_split_impl
+    a0, a1 = axes
+    n0, n1 = n0_n1
+    if yr.shape[a0] != n0:
+        raise ValueError(f"irfft2_split: axis {a0} has {yr.shape[a0]} "
+                         f"bins, expected n0={n0}")
+    zr, zi = _fft_split_impl(yr, yi, a0, norm, inverse=True)
+    return _irfft_split_impl(zr, zi, n1, a1, norm)
+
+
+_rfft2_split_jit = jax.jit(_rfft2_split_core, static_argnums=(1, 2))
+_irfft2_split_jit = jax.jit(_irfft2_split_core, static_argnums=(2, 3, 4))
+
+
+def rfft2_split(x, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """2-D real FFT -> (re, im) pair with shape (..., n0, n1//2+1) —
+    the TPU path for 2-D real programs (complex dtypes are rejected
+    there).  Same row-column semantics as :func:`rfft2` (rfft2f_,
+    /root/reference/cfftpack/fftpack.c:13282-13445).  Sharded variant:
+    parallel/fft2d.rfft2_sharded_split."""
+    return _rfft2_split_jit(x, tuple(int(a) for a in axes),
+                            check_norm(norm))
+
+
+def irfft2_split(yr, yi, s, axes=(-2, -1), norm: str = DEFAULT_NORM):
+    """Inverse of :func:`rfft2_split`; ``s = (n0, n1)`` is the real
+    output shape (packed spectra are parity-ambiguous)."""
+    return _irfft2_split_jit(yr, yi, (int(s[0]), int(s[1])),
+                             tuple(int(a) for a in axes),
+                             check_norm(norm))

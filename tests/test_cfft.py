@@ -175,3 +175,23 @@ def test_chunked_batch_dispatch_matches_numpy(kind, monkeypatch):
     np.testing.assert_allclose(got, want, atol=1e-11)
     back = np.asarray(ct.ifft(ct.fft(x)))
     np.testing.assert_allclose(back, x, atol=1e-11)
+
+
+def test_fft2_split_matches_fft2():
+    """fft2_split/ifft2_split (the 2-D TPU path: complex dtypes are
+    rejected there) agree with fft2 bin-for-bin, incl. odd axis-0,
+    batch dims, non-default axes and norms."""
+    x = rng_complex((3, 7, 12), seed=23).astype(np.complex64)
+    for norm in ("fftpack", "ortho"):
+        yr, yi = ct.fft2_split(x.real, x.imag, norm=norm)
+        want = np.asarray(ct.fft2(x, norm=norm))
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, want, atol=F32_TOL)
+        zr, zi = ct.ifft2_split(yr, yi, norm=norm)
+        np.testing.assert_allclose(np.asarray(zr) + 1j * np.asarray(zi),
+                                   x, atol=F32_TOL)
+    # non-trailing axes
+    yr, yi = ct.fft2_split(x.real, x.imag, axes=(0, -1))
+    want = np.asarray(ct.fft2(x, axes=(0, -1)))
+    np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
+                               want, atol=F32_TOL)

@@ -263,3 +263,39 @@ def test_stream_split_complex_fft(monkeypatch):
     got4 = np.asarray(yr4) + 1j * np.asarray(yi4)
     want4 = np.fft.fft(xr4 + 1j * xi4)
     assert np.abs(got4 - want4).max() / np.abs(want4).max() < 5e-6
+
+
+def test_mm2_kernel_matches_numpy():
+    """Round-4 two-matmul mid-range kernel (ops/pallas_stream.py):
+    natural + permuted layouts, forward/inverse — interpret mode
+    (on-chip A/B in benchmarks/stream_mid_ab.py: measured to LOSE to
+    XLA flat at every mid-range size, kept opt-in for v5p/v6 —
+    BASELINE.md "Mid-range Pallas attack")."""
+    from cfftpack_tpu.ops.pallas_stream import (
+        mm2_eligible, sfft_mm2_pallas, sfft_mm2_pallas_permuted)
+    assert mm2_eligible(2048, np.float32)
+    assert mm2_eligible(32768, np.float32)
+    assert not mm2_eligible(128, np.float32)       # m=1
+    assert not mm2_eligible(65536, np.float32)     # m > _MM2_MAX_M
+    assert not mm2_eligible(2048, np.float64)
+    n = 2048
+    m = n // 128
+    xr, xi = rng_pair((3, n), seed=17)
+    yr, yi = sfft_mm2_pallas(jnp.asarray(xr), jnp.asarray(xi), n, False)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    want = np.fft.fft(xr + 1j * xi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    # permuted layout: perm[.., k2, k1] == X[k2 + m*k1]
+    pr, pi_ = sfft_mm2_pallas_permuted(jnp.asarray(xr), jnp.asarray(xi),
+                                       n, False)
+    perm = (np.asarray(pr) + 1j * np.asarray(pi_)).reshape(3, m, 128)
+    nat = want.reshape(3, 128, m)
+    assert (np.abs(perm - nat.transpose(0, 2, 1)).max()
+            / np.abs(want).max()) < 5e-6
+    # natural inverse roundtrip + permuted zero-transpose roundtrip
+    zr, zi = sfft_mm2_pallas(yr, yi, n, True)
+    rt = (np.asarray(zr) + 1j * np.asarray(zi)) / n
+    np.testing.assert_allclose(rt, xr + 1j * xi, atol=5e-5)
+    qr, qi = sfft_mm2_pallas_permuted(pr, pi_, n, True)
+    rt2 = (np.asarray(qr) + 1j * np.asarray(qi)) / n
+    np.testing.assert_allclose(rt2, xr + 1j * xi, atol=5e-5)

@@ -207,3 +207,18 @@ def test_real_entry_points_reject_complex():
         ct.irfft_split(z[..., :5], np.zeros((4, 5), np.float32), n=8)
     with pytest.raises(TypeError, match="real input required"):
         ct.rfilter_split(z, np.ones(5, np.float32), np.zeros(5, np.float32))
+
+
+def test_rfft2_split_matches_rfft2():
+    """rfft2_split/irfft2_split (the 2-D real TPU path) agree with
+    rfft2 bin-for-bin, incl. odd n1 and both norms."""
+    F32_TOL = 2e-4
+    for shape in ((6, 8), (5, 9)):
+        x = rng_real((2,) + shape, seed=shape[1]).astype(np.float32)
+        for norm in ("fftpack", "ortho"):
+            yr, yi = ct.rfft2_split(x, norm=norm)
+            want = np.asarray(ct.rfft2(x, norm=norm))
+            got = np.asarray(yr) + 1j * np.asarray(yi)
+            np.testing.assert_allclose(got, want, atol=F32_TOL)
+            back = np.asarray(ct.irfft2_split(yr, yi, shape, norm=norm))
+            np.testing.assert_allclose(back, x, atol=F32_TOL)
