@@ -222,6 +222,95 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
     return outr[0], outr[1], outi[0], outi[1]
 
 
+def _fourstep_hp(Rh, Rl, Ih, Il, n: int, inverse: bool, cpu: bool):
+    """In-core four-step at df64 precision (core._fourstep_local
+    analog re-derived for the 4-plane quad): view x[j1*n2+j2] as
+    (n1, n2), outer df FFT over j1 (transpose + stockham — no dense
+    MXU form exists for df arithmetic), df twiddle cmul, df FFT over
+    j2, digit-reversal transpose to natural order."""
+    from .core import _fourstep_split_n
+    n1, n2 = _fourstep_split_n(n)
+    lead = Rh.shape[:-1]
+    dtype = Rh.dtype
+    q = [a.reshape(lead + (n1, n2)) for a in (Rh, Rl, Ih, Il)]
+    t = [jnp.swapaxes(a, -1, -2) for a in q]
+    A = _stockham_hp(t[0], t[1], t[2], t[3], n1, inverse, cpu)
+    A = [jnp.swapaxes(a, -1, -2) for a in A]
+    k1 = np.arange(n1)[:, None]
+    j2 = np.arange(n2)[None, :]
+    sgn = 2j * np.pi / n if inverse else -2j * np.pi / n
+    tw = np.exp(sgn * (k1 * j2))
+    twr = _df_tab_b(tw.real, dtype, lead, cpu)
+    twi = _df_tab_b(tw.imag, dtype, lead, cpu)
+    Tr, Ti = _cmul_df((A[0], A[1]), (A[2], A[3]), twr, twi)
+    flat = [a.reshape(-1, n2) for a in (Tr[0], Tr[1], Ti[0], Ti[1])]
+    Y = _stockham_hp(flat[0], flat[1], flat[2], flat[3], n2, inverse,
+                     cpu)
+    out = []
+    for a in Y:
+        a = a.reshape(lead + (n1, n2))
+        out.append(jnp.swapaxes(a, -1, -2).reshape(lead + (n,)))
+    return tuple(out)
+
+
+_fourstep_hp_jit = partial(jax.jit, static_argnums=(4, 5, 6))(
+    _fourstep_hp)
+
+
+@partial(jax.jit, static_argnums=(4, 5, 6, 7, 8))
+def _chunked_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool, cpu: bool,
+                    bc: int, four: bool):
+    """Sequential lax.map over lane-tile batch chunks so each chunk's
+    df stage chain stays VMEM-resident (the hp analog of
+    core._map_chunks; the 4-plane quad doubles the working set, so the
+    chunk threshold sits at HALF the f32 engine's element count)."""
+    lead = Rh.shape[:-1]
+    arrs = tuple(a.reshape(-1, bc, n) for a in (Rh, Rl, Ih, Il))
+    body = _fourstep_hp if four else _stockham_hp
+    out = jax.lax.map(
+        lambda c: body(c[0], c[1], c[2], c[3], n, inverse, cpu), arrs)
+    return tuple(o.reshape(lead + (n,)) for o in out)
+
+
+# Measured v5e crossovers for the 4-plane df64 working set
+# (HP_LARGE_r04.jsonl; see BASELINE.md "hp large-n dispatch"):
+# four-step at batch 64 wins 1.7x at n=16384, ties at 32768, +6% at
+# 65536 (no dense-MXU outer exists for df arithmetic, so the win is
+# smaller than the f32 engine's); chunk4/32 halves the (65536, 128)
+# flat cliff (13.6 -> 6.9 ms); chunking at 2^22 elems is a wash
+# (+16% at (4096,1024), -6% at (16384,256)) so the threshold stays
+# at 2^23.
+_HP_FOURSTEP_MIN = 8192       # b < 128 and n >= this: four-step
+_HP_LANE_BATCH = 128
+_HP_BIG_ELEMS = 1 << 23       # half the f32 engine's 2^24 (4 planes)
+_HP_MAPFOUR_MIN_N = 1 << 16
+
+
+def _fft_any_hp(Rh, Rl, Ih, Il, n: int, inverse: bool, cpu: bool):
+    """Batch-aware engine dispatch for the df64 stockham (the hp
+    analog of core._fft_any, with thresholds for the doubled working
+    set).  CPU backends always take the flat path: the XLA:CPU df
+    compile pathologies (see _cpu_dense/_dense_half) punish the extra
+    jit variants and CPU-scale workloads never hit the HBM cliffs."""
+    from .core import _fourstep_split_n
+    bp = 1
+    for d in Rh.shape[:-1]:
+        bp *= int(d)
+    if cpu:
+        return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
+    split = _fourstep_split_n(n)
+    if n >= _HP_FOURSTEP_MIN and bp < _HP_LANE_BATCH and split is not None:
+        return _fourstep_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
+    if bp * n >= _HP_BIG_ELEMS and bp % 32 == 0:
+        if n >= _HP_MAPFOUR_MIN_N and split is not None:
+            return _chunked_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu,
+                                   32, True)
+        if bp % _HP_LANE_BATCH == 0 and bp >= 2 * _HP_LANE_BATCH:
+            return _chunked_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu,
+                                   _HP_LANE_BATCH, False)
+    return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
+
+
 def _on_cpu(x) -> bool:
     """True when this CONCRETE array will execute on a CPU device (the
     df-broadcast hazard backend; see _bluestein_hp_jit).  Committed
@@ -244,7 +333,7 @@ def sfft_hp(Rh, Rl, Ih, Il, n: int, inverse: bool):
     cpu = _on_cpu(Rh)
     if plan.needs_bluestein(n):
         return _bluestein_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
-    return _sfft_hp_jit(Rh, Rl, Ih, Il, n, inverse, cpu)
+    return _fft_any_hp(Rh, Rl, Ih, Il, n, inverse, cpu)
 
 
 def _fft_hp(x, inverse: bool, norm: str):

@@ -389,3 +389,97 @@ def test_df_add_fast_vs_accurate():
     scale = np.abs(a) + np.abs(b)
     assert (np.abs(f - (a + b)) / scale).max() < 1e-12
     assert (np.abs(f - g) / scale).max() < 1e-12
+
+
+def test_hp_large_n_engines_match_flat():
+    """Round-4 large-n hp dispatch (hp._fft_any_hp): the four-step and
+    chunked df engines must agree with the flat df stockham at VALUE
+    level (hi+lo in f64 — plane-wise comparison misreads equivalent
+    df splits as ~1e-9) and with numpy f64.  On-chip crossovers in
+    benchmarks/results/HP_LARGE_r04.jsonl."""
+    from cfftpack_tpu.ops import hp
+    r = np.random.default_rng(7)
+    n, b = 2048, 64                      # fourstep split (16, 128)
+    xr = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+    xi = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+    quad = (xr, jnp.zeros_like(xr), xi, jnp.zeros_like(xi))
+
+    def val(out):
+        g = [np.asarray(v) for v in out]
+        return ((g[0].astype(np.float64) + g[1])
+                + 1j * (g[2].astype(np.float64) + g[3]))
+
+    want = np.fft.fft(np.asarray(xr, np.float64)
+                      + 1j * np.asarray(xi, np.float64))
+    scale = np.abs(want).max()
+    flat = val(hp._sfft_hp_jit(*quad, n, False, True))
+    assert np.abs(flat - want).max() / scale < 1e-13
+    four = val(hp._fourstep_hp_jit(*quad, n, False, True))
+    assert np.abs(four - want).max() / scale < 1e-13
+    ch_f = val(hp._chunked_hp_jit(*quad, n, False, True, 32, False))
+    assert np.abs(ch_f - flat).max() / scale < 1e-15
+    ch_4 = val(hp._chunked_hp_jit(*quad, n, False, True, 32, True))
+    assert np.abs(ch_4 - four).max() / scale < 1e-15
+    # four-step inverse roundtrip
+    y = hp._fourstep_hp_jit(*quad, n, False, True)
+    z = val(hp._fourstep_hp_jit(*y, n, True, True)) / n
+    x0 = np.asarray(xr, np.float64) + 1j * np.asarray(xi, np.float64)
+    assert np.abs(z - x0).max() < 1e-12
+
+
+def test_hp_dispatch_routing():
+    """_fft_any_hp routes by (backend, batch, n) — spies on the
+    engine jits; CPU always takes flat (XLA:CPU df compile pathology,
+    see _fft_any_hp docstring)."""
+    from cfftpack_tpu.ops import hp
+    calls = []
+    orig = (hp._sfft_hp_jit, hp._fourstep_hp_jit, hp._chunked_hp_jit)
+
+    def spy(name, fn):
+        def wrapped(*a, **k):
+            calls.append(name)
+            return fn(*a, **k)
+        return wrapped
+
+    hp._sfft_hp_jit = spy("flat", orig[0])
+    hp._fourstep_hp_jit = spy("four", orig[1])
+    hp._chunked_hp_jit = spy("chunk", orig[2])
+    try:
+        r = np.random.default_rng(3)
+        x = jnp.asarray(r.standard_normal((4, 256)).astype(np.float32))
+        q = (x, jnp.zeros_like(x), x, jnp.zeros_like(x))
+        # cpu=True: always flat regardless of shape thresholds
+        hp._fft_any_hp(*q, 256, False, True)
+        assert calls == ["flat"]
+        # tpu-form routing decisions (trace the DECISION only: shrink
+        # the thresholds so small CPU-sized arrays hit each branch)
+        old = (hp._HP_FOURSTEP_MIN, hp._HP_BIG_ELEMS,
+               hp._HP_MAPFOUR_MIN_N)
+        hp._HP_FOURSTEP_MIN, hp._HP_BIG_ELEMS = 2048, 1 << 17
+        hp._HP_MAPFOUR_MIN_N = 2048
+        try:
+            calls.clear()
+            y = jnp.asarray(
+                r.standard_normal((64, 2048)).astype(np.float32))
+            qy = (y, jnp.zeros_like(y), y, jnp.zeros_like(y))
+            hp._fft_any_hp(*qy, 2048, False, False)   # b<128, n>=min
+            assert calls == ["four"]
+            calls.clear()
+            z = jnp.asarray(
+                r.standard_normal((256, 2048)).astype(np.float32))
+            qz = (z, jnp.zeros_like(z), z, jnp.zeros_like(z))
+            hp._fft_any_hp(*qz, 2048, False, False)   # big + mapfour n
+            assert calls == ["chunk"]
+            calls.clear()
+            # n=512 has no four-step split and b >= 2*128: chunked flat
+            w = jnp.asarray(
+                r.standard_normal((256, 512)).astype(np.float32))
+            qw = (w, jnp.zeros_like(w), w, jnp.zeros_like(w))
+            hp._fft_any_hp(*qw, 512, False, False)
+            assert calls == ["chunk"]
+        finally:
+            (hp._HP_FOURSTEP_MIN, hp._HP_BIG_ELEMS,
+             hp._HP_MAPFOUR_MIN_N) = old
+    finally:
+        (hp._sfft_hp_jit, hp._fourstep_hp_jit,
+         hp._chunked_hp_jit) = orig
