@@ -71,9 +71,15 @@ def main():
     ap.add_argument("--families", default="fft,rfft,dct2,dct4")
     ap.add_argument("--scaling", action="store_true",
                     help="run the batch-sharded weak-scaling sweep instead")
+    ap.add_argument("--mode2d", action="store_true",
+                    help="run the 2-D sweep (BASELINE configs[3] class) "
+                    "instead")
     args = ap.parse_args()
     if args.scaling:
         weak_scaling()
+        return
+    if args.mode2d:
+        sweep_2d()
         return
     sizes = [int(s) for s in args.sizes.split(",")]
     fams = args.families.split(",")
@@ -120,6 +126,64 @@ def main():
             }))
 
 
+
+
+def sweep_2d():
+    """2-D on-chip sweep (round-4 verdict item 3; BASELINE configs[3]
+    is 4096^2 batch=64 on a pod — per-chip classes here): fft2_split /
+    rfft2_split / dctn at 1024^2 and 4096^2.
+
+    Ideal bytes per 2-D transform = 2 passes (one per axis), each a
+    full read+write of the operand planes:
+      fft2:  2 * 2rw * (2 planes * n^2 * 4B)      = 32 n^2
+      rfft2: pass 1 real->half spectrum, pass 2 rw half spectrum
+             = (n^2 + 2*n*(n/2+1)) * 4 + 4 * n*(n/2+1) * 4
+      dctn:  real in/out both passes               = 16 n^2
+    """
+    import jax
+    import jax.numpy as jnp
+    import cfftpack_tpu as ct
+
+    bw = hbm_bandwidth()
+    dev = jax.devices()[0]
+    print(json.dumps({"metric": "hbm_stream_GBps",
+                      "value": round(bw / 1e9, 1),
+                      "device": dev.device_kind, "backend": dev.platform}))
+    r = np.random.default_rng(0)
+    for n, b in ((1024, 64), (4096, 4)):
+        xr = jnp.asarray(
+            r.standard_normal((b, n, n)).astype(np.float32))
+        xi = jnp.asarray(
+            r.standard_normal((b, n, n)).astype(np.float32))
+        h = n // 2 + 1
+        bodies = {
+            "fft2": (lambda s: ct.fft2_split(s[0], s[1], norm="ortho"),
+                     (xr, xi), 32 * n * n),
+            "rfft2": (lambda s: ct.irfft2_split(
+                          *ct.rfft2_split(s), (n, n)),
+                      xr, ((n * n + 2 * n * h) * 4 + 4 * n * h * 4) * 2),
+            "dctn": (lambda s: ct.idctn(
+                         ct.dctn(s, type=2, axes=(-2, -1)),
+                         type=2, axes=(-2, -1)),
+                     xr, 16 * n * n * 2),
+        }
+        for fam, (body, state, ideal1) in bodies.items():
+            ntrans = 2 if fam in ("rfft2", "dctn") else 1
+            try:
+                t = per_iter(body, state, lo=2, hi=10)
+            except Exception as e:  # noqa: BLE001
+                print(json.dumps({"metric": f"{fam}_2d", "n": n,
+                                  "error": str(e)[:120]}))
+                continue
+            tper = t / ntrans
+            print(json.dumps({
+                "metric": f"{fam}_2d_transforms_per_s",
+                "n": n, "batch": b,
+                "value": round(b / tper, 2),
+                "t_us": round(tper * 1e6, 1),
+                "roofline_frac": round(
+                    (b * ideal1 / ntrans / tper) / bw, 4),
+            }))
 
 
 def weak_scaling(batch_per_device: int = 512, n: int = 1024):
