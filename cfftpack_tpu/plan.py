@@ -138,6 +138,22 @@ def fft_next_fast_size_2nm1(n: int) -> int:
     return n
 
 
+def next_stream_size(x: int, max_m: int = 4096) -> int | None:
+    """Smallest N = 128*m >= x with m 5-smooth and m <= max_m — the
+    eligibility shape of the streaming Pallas kernel
+    (ops/pallas_stream.py).  Used to pick Bluestein convolution pads
+    that keep huge-n prime transforms on the stream path (round-4
+    verdict item 5).  None when x exceeds the kernel's size cap."""
+    if x > 128 * max_m:
+        return None
+    m = max(2, -(-x // 128))
+    while m <= max_m and not is_smooth(m):
+        m += 1
+    if m > max_m:
+        return None
+    return 128 * m
+
+
 def fft_next_fast_size_2np1(n: int) -> int:
     """Next n >= given such that 2n+1 is 5-smooth (cfftextra.c:64-82)."""
     nat = _native()
@@ -204,15 +220,22 @@ def host_fft(x: np.ndarray) -> np.ndarray:
 
 
 @functools.lru_cache(maxsize=512)
-def bluestein_tables(n: int) -> tuple[int, np.ndarray, np.ndarray]:
+def bluestein_tables(n: int, m: int | None = None
+                     ) -> tuple[int, np.ndarray, np.ndarray]:
     """Host-side tables for Bluestein's chirp-z FFT of length ``n``.
 
     Returns (m, chirp, bq) where m is the 5-smooth convolution length
-    >= 2n-1, chirp[j] = exp(-1j*pi*j^2/n) (length n), and bq is the
-    length-m forward *unscaled* DFT of the circular chirp-conjugate
-    kernel b[j] = exp(+1j*pi*((j mod m mapped) ^2)/n).
+    >= 2n-1 (the next fast size by default; callers may pass a larger
+    valid m, e.g. a stream-kernel-eligible one), chirp[j] =
+    exp(-1j*pi*j^2/n) (length n), and bq is the length-m forward
+    *unscaled* DFT of the circular chirp-conjugate kernel
+    b[j] = exp(+1j*pi*((j mod m mapped) ^2)/n).
     """
-    m = fft_next_fast_size(2 * n - 1)
+    if m is None:
+        m = fft_next_fast_size(2 * n - 1)
+    elif m < 2 * n - 1 or not is_smooth(m):
+        raise ValueError(f"bluestein pad m={m} must be a 5-smooth "
+                         f"size >= 2n-1 = {2 * n - 1}")
     # exponent j^2 mod 2n keeps the angle exact for large n
     jsq = (np.arange(n, dtype=np.int64) ** 2) % (2 * n)
     chirp = np.exp((-1j * np.pi / n) * jsq)

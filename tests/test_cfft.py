@@ -195,3 +195,37 @@ def test_fft2_split_matches_fft2():
     want = np.asarray(ct.fft2(x, axes=(0, -1)))
     np.testing.assert_allclose(np.asarray(yr) + 1j * np.asarray(yi),
                                want, atol=F32_TOL)
+
+
+def test_bluestein_stream_pad():
+    """Round-4 Bluestein pad selection (core._stream_pad_for_bluestein
+    + plan.next_stream_size): huge-n prime transforms may use a larger
+    128*5-smooth convolution pad so the inner FFTs stay on the stream
+    kernel; any valid pad must give identical results."""
+    import jax.numpy as jnp
+    from cfftpack_tpu import plan
+    from cfftpack_tpu.ops import core
+
+    assert plan.next_stream_size(131073) == 138240       # 128*1080
+    assert plan.next_stream_size(2 * 1009 - 1) == 2048   # 128*16
+    assert plan.next_stream_size(128 * 4096 + 1) is None
+    with pytest.raises(ValueError):
+        plan.bluestein_tables(101, 150)   # not 5-smooth / too small
+
+    n = 101
+    x = rng_complex((3, n), seed=5)
+    xr = jnp.asarray(x.real)
+    xi = jnp.asarray(x.imag)
+    yr0, yi0 = core._bluestein(xr, xi, n, False)
+    import cfftpack_tpu.ops.core as c
+    orig = c._stream_pad_for_bluestein
+    c._stream_pad_for_bluestein = (
+        lambda n_, bp, dt: plan.next_stream_size(2 * n_ - 1))
+    try:
+        yr1, yi1 = c._bluestein(xr, xi, n, False)
+    finally:
+        c._stream_pad_for_bluestein = orig
+    want = naive_fft(x) * n          # core._bluestein is unscaled
+    for yr, yi in ((yr0, yi0), (yr1, yi1)):
+        got = np.asarray(yr) + 1j * np.asarray(yi)
+        np.testing.assert_allclose(got, want, atol=F64_TOL * 64 * n)
