@@ -88,6 +88,57 @@ def main():
     got = np.asarray(ct.dctn(jnp.asarray(x), 3))
     check("dct_2d 8x6", relerr(got, g["dct2d_fwd_8x6"]))
 
+    # round-4 legs ------------------------------------------------
+    # 2-D split API (the on-TPU 2-D path) vs numpy
+    r4 = np.random.default_rng(4)
+    a = r4.standard_normal((2, 24, 36)).astype(np.float32)
+    b = r4.standard_normal((2, 24, 36)).astype(np.float32)
+    yr, yi = ct.fft2_split(jnp.asarray(a), jnp.asarray(b), norm="ortho")
+    want2 = np.fft.fft2(a.astype(np.float64)
+                        + 1j * b.astype(np.float64), norm="ortho")
+    check("fft2_split 24x36",
+          relerr(np.asarray(yr) + 1j * np.asarray(yi), want2))
+    sr, si = ct.rfft2_split(jnp.asarray(a))
+    wantr = np.fft.rfft2(a.astype(np.float64)) / (24 * 36)
+    check("rfft2_split 24x36",
+          relerr(np.asarray(sr) + 1j * np.asarray(si), wantr))
+    back = np.asarray(ct.irfft2_split(sr, si, (24, 36)))
+    check("irfft2_split roundtrip", relerr(back, a))
+
+    # Bluestein with the stream-eligible pad (explicit, small n so it
+    # compiles fast; the auto gate only fires at huge n)
+    from cfftpack_tpu.ops import core as _core
+    from cfftpack_tpu import plan as _plan
+    n = 101
+    x = g[f"fft_in_{n}"]
+    _orig = _core._stream_pad_for_bluestein
+    _core._stream_pad_for_bluestein = (
+        lambda n_, bp, dt: _plan.next_stream_size(2 * n_ - 1))
+    try:
+        yr, yi = ct.fft_split(jnp.asarray(x.real.astype(np.float32)),
+                              jnp.asarray(x.imag.astype(np.float32)))
+    finally:
+        _core._stream_pad_for_bluestein = _orig
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    check("fft bluestein stream-pad n=101",
+          relerr(got, g[f"fft_fwd_{n}"]))
+
+    # hp large-n engines on-chip (value-level vs the flat hp engine)
+    from cfftpack_tpu.ops import hp as _hp
+    xq = r4.standard_normal((64, 2048)).astype(np.float32)
+    yq = r4.standard_normal((64, 2048)).astype(np.float32)
+    quad = (jnp.asarray(xq), jnp.zeros((64, 2048), jnp.float32),
+            jnp.asarray(yq), jnp.zeros((64, 2048), jnp.float32))
+
+    def _val(out):
+        v = [np.asarray(t) for t in out]
+        return ((v[0].astype(np.float64) + v[1])
+                + 1j * (v[2].astype(np.float64) + v[3]))
+
+    flat = _val(_hp._sfft_hp_jit(*quad, 2048, False, False))
+    four = _val(_hp._fourstep_hp_jit(*quad, 2048, False, False))
+    check("hp fourstep vs flat (value)", relerr(four, flat), tol=1e-13)
+
     # f64 first-class routing: double input to the MAIN dtype API on
     # this TPU backend must auto-route to the hp engine and come back
     # at the reference's C-double tolerance (testall.c 1e-13 bar), not
