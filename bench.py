@@ -69,6 +69,23 @@ def _per_iter(body, state, lo: int, hi: int) -> float:
 
 
 def main():
+    # Watchdog: the axon terminal occasionally wedges (every client op
+    # hangs, even device enumeration — CLAUDE.md round-4 notes).  A
+    # wedged tunnel must produce a JSON line, not a hung driver.
+    import signal
+
+    def _wedged(signum, frame):
+        print(json.dumps({
+            "metric": "batched split-c64 1024-pt FFT transforms/s/chip",
+            "value": None, "unit": "transforms/s", "vs_baseline": None,
+            "detail": {"error": "TPU tunnel wedged (watchdog fired); "
+                                "see CLAUDE.md round-4 tunnel hazard"}}))
+        os._exit(1)
+
+    import os
+    signal.signal(signal.SIGALRM, _wedged)
+    signal.alarm(1500)
+
     import jax
     import jax.numpy as jnp
     import cfftpack_tpu as ct
@@ -198,6 +215,7 @@ def main():
                                        else round(t_2d * 1e6, 1)),
         },
     }
+    signal.alarm(0)
     print(json.dumps(result))
 
 
