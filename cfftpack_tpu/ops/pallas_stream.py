@@ -566,6 +566,13 @@ def sfft_stream_split(xr, xi, n: int, inverse: bool, rows: int = 0):
 # is exactly the (128, m) row-major view of X^T).  The dense inner DFT
 # is mathematically the textbook DFT matrix — exact at HIGHEST
 # precision (same accuracy class as core._dft_axis2_dense).
+#
+# MEASURED OUTCOME (STREAM_MID_AB_r04.jsonl): correct to 2.1e-7 but
+# LOSES to the flat XLA path at every mid-range size — in a fused
+# kernel body the two contractions compose ~serially with the DMA
+# instead of hiding under it, and XLA flat already sits at the chip's
+# joint DMA/VPU/MXU limit (BASELINE.md "Mid-range Pallas attack").
+# Kept opt-in (never auto-dispatched) for re-measurement on v5p/v6.
 _MM2_MAX_M = 256          # MXU contraction length cap for D_m
 
 
