@@ -150,7 +150,11 @@ def sweep_2d():
                       "value": round(bw / 1e9, 1),
                       "device": dev.device_kind, "backend": dev.platform}))
     r = np.random.default_rng(0)
-    for n, b in ((1024, 64), (4096, 4)):
+    cfgs = ((1024, 64), (4096, 4))
+    if os.environ.get("SWEEP2D_SIZES"):     # e.g. "1024:64,4096:4"
+        cfgs = tuple(tuple(int(v) for v in c.split(":"))
+                     for c in os.environ["SWEEP2D_SIZES"].split(","))
+    for n, b in cfgs:
         xr = jnp.asarray(
             r.standard_normal((b, n, n)).astype(np.float32))
         xi = jnp.asarray(
