@@ -42,6 +42,9 @@ def main():
     r = np.random.default_rng(0)
     # (prime n, batch) at ~2^22-elem working sets
     configs = [(1009, 4096), (4099, 1024), (65537, 64)]
+    if os.environ.get("PRIME_CONFIGS"):          # e.g. "65537:64"
+        configs = [tuple(int(v) for v in c.split(":"))
+                   for c in os.environ["PRIME_CONFIGS"].split(",")]
     for n, b in configs:
         xr = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
         xi = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))

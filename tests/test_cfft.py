@@ -206,9 +206,15 @@ def test_bluestein_stream_pad():
     from cfftpack_tpu import plan
     from cfftpack_tpu.ops import core
 
-    assert plan.next_stream_size(131073) == 138240       # 128*1080
+    # m must be a 5-smooth multiple of 16 (the kernel's DFT-16 tail):
+    # 1080 = 8*135 is 5-smooth but NOT stream-schedulable; 1152 is
+    assert plan.next_stream_size(131073) == 147456       # 128*1152
     assert plan.next_stream_size(2 * 1009 - 1) == 2048   # 128*16
     assert plan.next_stream_size(128 * 4096 + 1) is None
+    from cfftpack_tpu.ops.pallas_stream import stream_pallas_eligible
+    for x in (131073, 2017, 8197):
+        assert stream_pallas_eligible(plan.next_stream_size(x),
+                                      np.float32)
     with pytest.raises(ValueError):
         plan.bluestein_tables(101, 150)   # not 5-smooth / too small
 
