@@ -442,14 +442,17 @@ _RIFFLE_IDIOM = "auto"
 _RIFFLE_SELECT_MIN = 1 << 62
 
 
-def _interleave(*parts):
+def _interleave(*parts, idiom: str | None = None):
     """Riffle s equal-length streams across lanes: out[..., s*t+j] =
-    parts[j][..., t]."""
+    parts[j][..., t].  ``idiom`` overrides the module policy for
+    call sites with their own measured crossover (dct4 huge-n:
+    select wins 1.27x at (16384, 256), DCT4_HUGE_r04 + the round-2
+    +9% point; other sites keep stack — round-2 e2e grid)."""
     s = len(parts)
     m = parts[0].shape[-1]
     n = s * m
     lead = parts[0].shape[:-1]
-    idiom = _RIFFLE_IDIOM
+    idiom = idiom or _RIFFLE_IDIOM
     if idiom == "auto":
         idiom = "select" if n >= _RIFFLE_SELECT_MIN else "stack"
     if idiom == "select":

@@ -277,8 +277,11 @@ def _dct4_core(x, n: int):
         zr = Wr * postr - Wi * posti
         zi = Wr * posti + Wi * postr
         # y[2t] = Re z[t], y[2t+1] = -Im z[h-1-t] (riffle idiom per
-        # core._interleave; lane scatters measured slower, b628ab7)
-        return core._interleave(zr, -zi[..., ::-1])
+        # core._interleave; lane scatters measured slower, b628ab7).
+        # select idiom from n >= 16384: 1.27x end-to-end at (16384,
+        # 256), +4% at (65536, 256) — DCT4_HUGE_r04 + round-2 grid
+        idm = "select" if n >= 16384 else None
+        return core._interleave(zr, -zi[..., ::-1], idiom=idm)
     m = 2 * n
     # U[k] = sum_{j<2n} xpad[j] e^{-2i pi (j+.5)(k+.5)/(2n)}
     ur, _ = core.s_shifted_dft_real(x, n, m, 0.5, 0.5, n)
