@@ -138,9 +138,11 @@ def main():
 
     fracs = {}
     if bw_hbm is not None:
-        for n, _b in TARGET_RANGE:
+        for n, b in TARGET_RANGE:
             if t_fwd[n] is not None:
-                fracs[n] = (2 * n * 8) / t_fwd[n] / bw_hbm
+                # one fwd chain step transforms the whole (b, n) batch:
+                # ideal traffic = b transforms * 2*n*8 bytes each
+                fracs[n] = (b * 2 * n * 8) / t_fwd[n] / bw_hbm
     geomean = (None if not fracs else
                float(np.exp(np.mean(np.log(list(fracs.values()))))))
 
