@@ -432,11 +432,44 @@ def irfft_split(yr, yi, n: int, axis: int = -1, norm: str = DEFAULT_NORM):
     return _irfft_split_jit(yr, yi, int(n), axis, check_norm(norm))
 
 
+def _pad_lanes(a, hp: int):
+    pad = [(0, 0)] * (a.ndim - 1) + [(0, hp - a.shape[-1])]
+    return jnp.pad(a, pad)
+
+
+def _ragged_pad(shape, axes) -> int:
+    """Lane-tile pad target for the packed n1//2+1 spectrum axis, or 0.
+
+    The 2-D real transform's middle passes (complex FFT over axis a0 +
+    its two transposes) otherwise run on a ragged (16k+1)-lane array —
+    measured 1.48x/2.11x slower at 1024^2/4096^2 than padding to a
+    multiple of 128 around them and slicing after (bit-identical;
+    BASELINE.md "2-D on-chip numbers").  Only the trailing-two-axes
+    layout keeps the ragged axis in lanes, so only that case pads."""
+    import jax
+    nd = len(shape)
+    a0, a1 = (ax % nd for ax in axes)
+    if (a0, a1) != (nd - 2, nd - 1) or jax.default_backend() == "cpu":
+        return 0
+    h = shape[a1]
+    hp = -(-h // 128) * 128
+    return hp if hp != h else 0
+
+
 def _rfft2_split_core(x, axes, norm: str):
     from .cfft import _fft_split_impl
     a0, a1 = axes
     yr, yi = _rfft_split_impl(x, a1, norm)
-    return _fft_split_impl(yr, yi, a0, norm, inverse=False)
+    hp = _ragged_pad(yr.shape, (a0, a1))
+    if hp:
+        yr = _pad_lanes(yr, hp)
+        yi = _pad_lanes(yi, hp)
+    yr, yi = _fft_split_impl(yr, yi, a0, norm, inverse=False)
+    if hp:
+        h = x.shape[a1] // 2 + 1
+        yr = yr[..., :h]
+        yi = yi[..., :h]
+    return yr, yi
 
 
 def _irfft2_split_core(yr, yi, n0_n1, axes, norm: str):
@@ -446,7 +479,15 @@ def _irfft2_split_core(yr, yi, n0_n1, axes, norm: str):
     if yr.shape[a0] != n0:
         raise ValueError(f"irfft2_split: axis {a0} has {yr.shape[a0]} "
                          f"bins, expected n0={n0}")
+    hp = _ragged_pad(yr.shape, (a0, a1))
+    if hp:
+        yr = _pad_lanes(yr, hp)
+        yi = _pad_lanes(yi, hp)
     zr, zi = _fft_split_impl(yr, yi, a0, norm, inverse=True)
+    if hp:
+        h = n1 // 2 + 1
+        zr = zr[..., :h]
+        zi = zi[..., :h]
     return _irfft_split_impl(zr, zi, n1, a1, norm)
 
 

@@ -222,3 +222,40 @@ def test_rfft2_split_matches_rfft2():
             np.testing.assert_allclose(got, want, atol=F32_TOL)
             back = np.asarray(ct.irfft2_split(yr, yi, shape, norm=norm))
             np.testing.assert_allclose(back, x, atol=F32_TOL)
+
+
+def test_rfft2_split_padded_middle():
+    """The TPU ragged-axis pad (ops/rfft._ragged_pad: lane-tile pad
+    around the axis-0 complex passes, 1.48-2.11x on-chip) must be
+    bit-equivalent to the unpadded path; forced on here (it is
+    backend-gated off on CPU)."""
+    import sys
+    R = sys.modules["cfftpack_tpu.ops.rfft"]   # attr `rfft` on the
+    # package is the FUNCTION re-export; get the real module
+    x = rng_real((2, 8, 10), seed=9).astype(np.float32)
+    want_r, want_i = ct.rfft2_split(x)
+    back_want = np.asarray(ct.irfft2_split(want_r, want_i, (8, 10)))
+    orig = R._ragged_pad
+    R._ragged_pad = lambda shape, axes, _o=orig: (
+        128 if (tuple(a % len(shape) for a in axes)
+                == (len(shape) - 2, len(shape) - 1)) else 0)
+    try:
+        got_r, got_i = R._rfft2_split_core(x, (-2, -1), "fftpack")
+        # (bit-identical on TPU; XLA:CPU vectorizes the padded batch
+        # differently, so f32-tolerance here)
+        np.testing.assert_allclose(np.asarray(got_r),
+                                   np.asarray(want_r), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(got_i),
+                                   np.asarray(want_i), atol=1e-5)
+        back = np.asarray(R._irfft2_split_core(got_r, got_i, (8, 10),
+                                               (-2, -1), "fftpack"))
+        np.testing.assert_allclose(back, back_want, atol=1e-5)
+        # non-trailing axes must NOT pad (the ragged axis is not in
+        # lanes there) and still agree with the reference path
+        got_r2, got_i2 = R._rfft2_split_core(
+            np.moveaxis(x, 0, -1), (0, 1), "fftpack")
+        np.testing.assert_allclose(
+            np.asarray(np.moveaxis(got_r2, -1, 0)), np.asarray(want_r),
+            atol=2e-4)
+    finally:
+        R._ragged_pad = orig
