@@ -36,7 +36,7 @@ from benchmarks.sweep import per_iter, hbm_bandwidth  # noqa: E402
 
 import jax.numpy as jnp  # noqa: E402
 
-import cfftpack_tpu as ct  # noqa: E402
+
 from cfftpack_tpu.ops import core  # noqa: E402
 
 

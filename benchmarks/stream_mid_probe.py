@@ -23,7 +23,6 @@ chains with a magnitude-preserving rescale.  Emits one JSON line per
 """
 from __future__ import annotations
 
-import functools
 import json
 import os
 import sys
