@@ -211,7 +211,13 @@ def _rfft2_sharded_pair(x, mesh, axis_name, norm, batch_axis_name=None):
     d = mesh.shape[axis_name]
     if n0 % d:
         raise ValueError(f"row count {n0} must be divisible by mesh size {d}")
-    hp = -(-(n1 // 2 + 1) // d) * d               # pad bins to mult of D
+    # pad bins to a multiple of D (a2a tiling). Single-chip evidence
+    # (RFFT2_PAD_AB_r04: 1.5-2.1x) says ragged LANE tiles are the 2-D
+    # real bottleneck — on real multi-chip hardware consider padding to
+    # lcm(D, 128)-aligned shards (hp/D a lane-tile multiple); the extra
+    # bins transform to zeros and slice off, but the +25%-bins FLOP
+    # cost vs the relayout win needs on-hardware measurement first.
+    hp = -(-(n1 // 2 + 1) // d) * d
     lead = x.ndim - 2
     ls = [None] * lead
     if batch_axis_name is not None and lead:
