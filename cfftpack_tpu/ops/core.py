@@ -325,8 +325,12 @@ def _bluestein(xr, xi, n: int, inverse: bool):
     bp = 1
     for d in xr.shape[:-1]:
         bp *= int(d)
-    m, chirp, bq = plan.bluestein_tables(
-        n, _stream_pad_for_bluestein(n, bp, xr.dtype))
+    ms = _stream_pad_for_bluestein(n, bp, xr.dtype)
+    # one-arg form when no pad override: keeps the lru_cache key
+    # identical to utils.cache.warm_plans' pre-population (advisor
+    # finding, round 4 — (n, None) and (n,) are distinct cache keys)
+    m, chirp, bq = (plan.bluestein_tables(n) if ms is None
+                    else plan.bluestein_tables(n, ms))
     if inverse:
         chirp = np.conj(chirp)
         bq = np.conj(bq)

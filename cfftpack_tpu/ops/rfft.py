@@ -479,6 +479,14 @@ def _irfft2_split_core(yr, yi, n0_n1, axes, norm: str):
     if yr.shape[a0] != n0:
         raise ValueError(f"irfft2_split: axis {a0} has {yr.shape[a0]} "
                          f"bins, expected n0={n0}")
+    # validate the packed axis BEFORE the lane pad: _ragged_pad would
+    # otherwise zero-pad/slice a malformed axis to exactly n1//2+1 bins
+    # and the length check downstream could never fire on TPU (advisor
+    # finding, round 4 — CPU and TPU must reject identically)
+    if yr.shape[a1] != n1 // 2 + 1:
+        raise ValueError(
+            f"irfft2_split: axis {a1} has {yr.shape[a1]} bins, expected "
+            f"n1//2+1 = {n1 // 2 + 1} for n1={n1}")
     hp = _ragged_pad(yr.shape, (a0, a1))
     if hp:
         yr = _pad_lanes(yr, hp)
