@@ -7,20 +7,24 @@ present; falls back to CPU).  Prints ONE JSON line:
 
 value       = transforms/s for batched split-complex f32 len-1024 FFT
               (BASELINE.json configs[0] shape: batch 4096).
-vs_baseline = GEOMEAN over the BASELINE target range
-              (n = 1024/4096/16384/65536 at 2^22-elem working sets) of
-              the per-size roofline fraction
+vs_baseline = GEOMEAN of per-kernel roofline fractions over the FULL
+              family surface: complex fft at n = 1024/4096/16384/65536
+              (2^22-elem working sets) PLUS rfft@1024, dct2@1024 and
+              2-D fft2@1024^2 (round-4 verdict item 4: the real and
+              2-D transforms — the weakest kernels — must gate the
+              headline, not hide in detail).
 
-                  frac(n) = ideal_bytes / t_fwd / bw_hbm
+                  frac = ideal_bytes / t / bw_hbm
 
-              where ideal_bytes = 2*n*8 per transform (one read + one
-              write of both f32 planes) and bw_hbm is the chip's
-              measured streaming bandwidth (elementwise add over a
-              larger-than-VMEM array).  Unlike rounds 1-3 (which
-              reported only the flagship n=1024 point, the BEST point
-              of the range), this headline moves when ANY target size
-              regresses (round-3 verdict "What's weak" item 1).
-              Per-size fractions are in detail.roofline_frac.
+              ideal_bytes is the roofline minimum: one read + one
+              write of every plane (complex: 2*n*8 per transform;
+              real/DCT: 2*n*4; 2-D: 2*n0*n1*8 — the row-column
+              engine's structural 2nd pass counts AGAINST the frac,
+              deliberately).  bw_hbm is the chip's measured streaming
+              bandwidth (elementwise add over a larger-than-VMEM
+              array).  Unlike rounds 1-3 (flagship best-point only),
+              this headline moves when ANY family regresses.
+              Per-kernel fractions are in detail.roofline_frac.
 
 Uses the split (re, im) API — the TPU-native path (the XLA TPU backend
 rejects complex dtypes; split planes are the Pallas layout).
@@ -142,11 +146,13 @@ def main():
             if t_fwd[n] is not None:
                 # one fwd chain step transforms the whole (b, n) batch:
                 # ideal traffic = b transforms * 2*n*8 bytes each
-                fracs[n] = (b * 2 * n * 8) / t_fwd[n] / bw_hbm
-    geomean = (None if not fracs else
-               float(np.exp(np.mean(np.log(list(fracs.values()))))))
+                fracs[f"fft_{n}"] = (b * 2 * n * 8) / t_fwd[n] / bw_hbm
 
-    # secondary kernels (recorded in detail; value stays the FFT metric)
+    # real / DCT / 2-D families (roundtrip chains; per_iter/2 is
+    # per-transform).  These GATE the headline geomean (round-4
+    # verdict item 4) — ideal bytes are the true per-family minimum,
+    # so the real transforms' structural halving is demanded, not
+    # forgiven.
     v = jnp.asarray(r.standard_normal((b0, n0)).astype(np.float32))
     t_rfft = _try(lambda: _per_iter(
         lambda s: ct.irfft_split(*ct.rfft_split(s), n0), v,
@@ -167,6 +173,16 @@ def main():
             (ar, ai), lo=2, hi=22)
 
     t_2d = _try(_fft2)
+
+    if bw_hbm is not None:
+        if t_rfft is not None:
+            fracs["rfft_1024"] = (b0 * 2 * n0 * 4) / t_rfft / bw_hbm
+        if t_dct2 is not None:
+            fracs["dct2_1024"] = (b0 * 2 * n0 * 4) / t_dct2 / bw_hbm
+        if t_2d is not None:
+            fracs["fft2_1024x1024"] = (4 * 2 * 1024 * 1024 * 8) / t_2d / bw_hbm
+    geomean = (None if not fracs else
+               float(np.exp(np.mean(np.log(list(fracs.values()))))))
 
     # double-float (f64-class accuracy) engine: one forward per iter.
     # Quad order is (re_hi, re_lo, im_hi, im_lo); the exact power-of-two
@@ -197,16 +213,19 @@ def main():
         "detail": {
             "backend": jax.devices()[0].platform,
             "device": jax.devices()[0].device_kind,
-            "vs_baseline_def": ("geomean of roofline fractions over "
-                                "n=1024/4096/16384/65536 (2^22-elem "
-                                "working sets), fwd-only ortho chains"),
+            "vs_baseline_def": ("geomean of per-kernel roofline "
+                                "fractions: complex fft n=1024/4096/"
+                                "16384/65536 (2^22-elem working sets, "
+                                "fwd ortho chains) + rfft@1024 + "
+                                "dct2@1024 + fft2@1024^2b4 (real/DCT "
+                                "ideal=2n*4 B, 2-D ideal=2*n0*n1*8 B "
+                                "— one read+one write of every plane)"),
             "hbm_GBps": None if bw_hbm is None else round(bw_hbm / 1e9, 1),
             "hbm_fallback": hbm_fallback,
             "t_fwd_us": {str(n): (None if t_fwd[n] is None
                                   else round(t_fwd[n] * 1e6, 2))
                          for n, _ in TARGET_RANGE},
-            "roofline_frac": {str(n): round(f, 4)
-                              for n, f in fracs.items()},
+            "roofline_frac": {k: round(f, 4) for k, f in fracs.items()},
             "t_rfft_us": None if t_rfft is None else round(
                 t_rfft * 1e6, 2),
             "t_dct2_us": None if t_dct2 is None else round(

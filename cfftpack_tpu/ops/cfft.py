@@ -177,6 +177,22 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool,
     n = xr.shape[axis]
     axis = axis % xr.ndim
     move = axis != xr.ndim - 1
+    if move and impl == "xla" and axis == xr.ndim - 2:
+        # column (axis -2) pass: the Pallas column kernel runs the DFT
+        # over sublanes with zero transpose passes, vs the moveaxis
+        # path's two full HBM relayouts (pallas_colfft docstring; win
+        # region measured in COLFFT_AB_r05)
+        from .pallas_colfft import (colfft_eligible, scolfft_pallas,
+                                    _COL_MIN_ELEMS)
+        if (jax.default_backend() == "tpu"
+                and colfft_eligible(n, xr.shape[-1], xr.dtype)
+                and xr.size >= _COL_MIN_ELEMS):
+            yr, yi = scolfft_pallas(xr, xi, inverse)
+            s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
+            if s != 1.0:
+                yr = yr * s
+                yi = yi * s
+            return yr, yi
     if move:
         xr = jnp.moveaxis(xr, axis, -1)
         xi = jnp.moveaxis(xi, axis, -1)

@@ -693,11 +693,16 @@ def idst2_hp(y, norm: str = DEFAULT_NORM):
 def _sfft_hp_body(Rh, Rl, Ih, Il, n: int, inverse: bool,
                   cpu_tables: bool):
     """Traceable any-length df64 DFT body (trace-time stockham /
-    Bluestein dispatch) for composition inside larger jits."""
+    Bluestein dispatch) for composition inside larger jits.  Routes
+    through the batch-aware _fft_any_hp so 2-D programs get the
+    large-n engines (four-step / chunked lax.map) on EVERY axis pass
+    — each 2-D axis pass carries the full image batch, which is
+    exactly the >= 2^23-element regime the hp cliff lives in
+    (round-4 verdict item 8; measured in HP2D_r05.jsonl)."""
     if plan.needs_bluestein(n):
         return _bluestein_hp_jit.__wrapped__(Rh, Rl, Ih, Il, n, inverse,
                                              cpu_tables)
-    return _stockham_hp(Rh, Rl, Ih, Il, n, inverse, cpu_tables)
+    return _fft_any_hp(Rh, Rl, Ih, Il, n, inverse, cpu_tables)
 
 
 @partial(jax.jit, static_argnums=(4, 5, 6, 7))

@@ -81,13 +81,13 @@ def _mirror_perm(t):
     out[k2, k1] = t[(m - k2) % m, lane], lane = (128 - k1) % 128 on
     row 0 and 127 - k1 elsewhere.
 
-    Concat-free formulation (flip both axes, roll rows by one, patch
-    row 0's extra lane rotate with a select): every op is a pure index
-    map, so XLA can fuse the whole mirror into the consuming FMA
-    instead of materializing a relayout copy per operand."""
-    R = jnp.roll(t[:, ::-1, ::-1], 1, axis=1)
-    row0 = jax.lax.broadcasted_iota(jnp.int32, (1, t.shape[1], 1), 1) == 0
-    return jnp.where(row0, jnp.roll(R, 1, axis=2), R)
+    The lane rotate is applied to the SINGLE self-mirror row only (a
+    1-row slice): a where/select formulation was measured 2-3x worse
+    end-to-end (RSTREAM_AB_r05 ab_v2 leg) because both select branches
+    materialize and the row-0 branch lane-rotates the WHOLE plane."""
+    R = t[:, ::-1, ::-1]                       # rows m-1..0, lanes flipped
+    r0 = jnp.roll(R[:, -1:], 1, axis=2)        # row 0: lane (128-k1)%128
+    return jnp.concatenate([r0, R[:, :-1]], axis=1)
 
 
 def _merge_uv(Zr, Zi):

@@ -299,3 +299,64 @@ def test_mm2_kernel_matches_numpy():
     qr, qi = sfft_mm2_pallas_permuted(pr, pi_, n, True)
     rt2 = (np.asarray(qr) + 1j * np.asarray(qi)) / n
     np.testing.assert_allclose(rt2, xr + 1j * xi, atol=5e-5)
+
+
+# ---------------------------------------------- column kernel (round 5)
+
+def test_colfft_kernel_matches_numpy():
+    """Column-FFT kernel (ops/pallas_colfft.py): length-n0 DFT over
+    axis -2 with zero transpose passes — interpret mode (on-chip A/B
+    in benchmarks/colfft_ab.py)."""
+    from cfftpack_tpu.ops.pallas_colfft import (colfft_eligible,
+                                                scolfft_pallas)
+    assert colfft_eligible(1024, 1024, np.float32)
+    assert colfft_eligible(48, 128, np.float32)     # radix-3 stage
+    assert not colfft_eligible(1024, 100, np.float32)   # n1 % 128
+    assert not colfft_eligible(24, 128, np.float32)     # no stage plan
+    assert not colfft_eligible(1024, 1024, np.float64)
+    r = np.random.default_rng(51)
+    for n0, n1, b in ((64, 256, 3), (48, 128, 2)):
+        x = r.standard_normal((b, n0, n1)).astype(np.float32)
+        y = r.standard_normal((b, n0, n1)).astype(np.float32)
+        zr, zi = scolfft_pallas(jnp.asarray(x), jnp.asarray(y))
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        want = np.fft.fft(x + 1j * y, axis=-2)
+        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+        br, bi = scolfft_pallas(zr, zi, inverse=True)
+        back = (np.asarray(br) + 1j * np.asarray(bi)) / n0
+        np.testing.assert_allclose(back, x + 1j * y, atol=5e-5)
+
+
+# ---------------------------------------------- real stream (round 5)
+
+def test_rstream_kernels_match_core():
+    """Streaming real transforms (ops/pallas_rstream.py): batch-pair
+    r2c/c2r and DCT-II/III over the permuted stream kernel must match
+    the shipped core/dct engines — interpret mode (on-chip A/B in
+    benchmarks/rstream_ab.py)."""
+    import importlib
+    from cfftpack_tpu.ops import core
+    from cfftpack_tpu.ops import pallas_rstream as rs
+    dctmod = importlib.import_module("cfftpack_tpu.ops.dct")
+    assert rs.rstream_eligible(2048, np.float32, 4)
+    assert not rs.rstream_eligible(2048, np.float32, 3)   # odd batch
+    assert not rs.rstream_eligible(2048, np.float64, 4)
+    assert not rs.rstream_eligible(1000, np.float32, 4)
+    r = np.random.default_rng(61)
+    n = 2048
+    x = r.standard_normal((4, n)).astype(np.float32)
+    yr, yi = rs.srfft_stream_pallas(jnp.asarray(x), n)
+    want = np.fft.rfft(x.astype(np.float64))
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+    # packed contract: imag(DC) and imag(Nyquist) are exact zeros
+    assert np.asarray(yi)[:, 0].max() == 0.0
+    assert np.asarray(yi)[:, -1].max() == 0.0
+    back = np.asarray(rs.sirfft_stream_pallas(yr, yi, n)) / n
+    assert np.abs(back - x).max() < 5e-5
+    d_s = np.asarray(rs.sdct2_stream_pallas(jnp.asarray(x), n))
+    d_x = np.asarray(dctmod._dct2_core(jnp.asarray(x), n))
+    assert np.abs(d_s - d_x).max() / np.abs(d_x).max() < 5e-6
+    t_s = np.asarray(rs.sdct3_stream_pallas(jnp.asarray(x), n))
+    t_x = np.asarray(dctmod._dct3_core(jnp.asarray(x), n))
+    assert np.abs(t_s - t_x).max() / np.abs(t_x).max() < 5e-6

@@ -75,3 +75,26 @@ def test_config0_batched_f64_1024_roundtrip():
          + 1j * r.standard_normal((64, 1024)))
     back = np.asarray(ct.ifft(ct.fft(x)))
     np.testing.assert_allclose(back, x, atol=1e-13 * 1024)
+
+
+def test_weakscale_harness_smoke(monkeypatch):
+    """benchmarks/weakscale.py measure() runs on the virtual mesh and
+    emits the efficiency-vector fields (round-4 verdict item 7: the
+    ready-to-run weak-scaling artifact).  Sizes shrunk for CI; the real
+    sweep is `python benchmarks/weakscale.py` (WEAKSCALE_r05.jsonl)."""
+    import importlib.util as iu
+    import os
+    spec = iu.spec_from_file_location(
+        "weakscale", os.path.join(os.path.dirname(__file__), "..",
+                                  "benchmarks", "weakscale.py"))
+    ws = iu.module_from_spec(spec)
+    spec.loader.exec_module(ws)
+    monkeypatch.setattr(ws, "ROWS_PER_DEV", 8)
+    monkeypatch.setattr(ws, "N", 256)
+    monkeypatch.setattr(ws, "QMC_PER_DEV", 1 << 10)
+    import jax
+    devs = jax.devices()
+    row = ws.measure(2, devs)
+    assert row["d"] == 2 and row["batch"] == 16
+    for key in ("t_fft_us", "t_rfft_us", "t_qmc_ms"):
+        assert row[key] > 0
