@@ -125,6 +125,38 @@ def main():
         results.append(row)
         print(json.dumps(row), flush=True)
 
+    # huge-batch ROW pass: the fully-fused VMEM kernel (pallas_fft,
+    # round-1 design — measured to lose to XLA at 2^22-elem sets) has
+    # never been re-measured in the 2^26 chunked-dispatch regime the
+    # 2-D row passes live in
+    from cfftpack_tpu.ops.pallas_fft import sfft_pallas
+    b, n = 65536, 1024
+    ar = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+    ai = jnp.asarray(r.standard_normal((b, n)).astype(np.float32))
+    s = np.float32(1.0 / n)
+
+    def row_pallas_rt(v):
+        zr, zi = sfft_pallas(v[0], v[1], n, False)
+        zr, zi = sfft_pallas(zr, zi, n, True)
+        return zr * s, zi * s
+
+    def row_xla_rt(v):
+        zr, zi = core.sfft(v[0], v[1], n, inverse=False)
+        zr, zi = core.sfft(zr, zi, n, inverse=True)
+        return zr * s, zi * s
+
+    row = {"leg": "hugebatch_row", "b": b, "n": n}
+    for name, body in (("row_pallas", row_pallas_rt),
+                       ("row_xla", row_xla_rt)):
+        try:
+            row[name + "_us"] = round(
+                _per_iter(body, (ar, ai), 2, 12) / 2 * 1e6, 2)
+        except Exception as e:                            # noqa: BLE001
+            row[name + "_us"] = None
+            row[name + "_err"] = repr(e)[:200]
+        print(json.dumps(row), flush=True)
+    results.append(row)
+
     # rfft2 end-to-end (column pass rides colfft via the lane pad)
     for b, n0, n1 in ((64, 1024, 1024),):
         x = jnp.asarray(r.standard_normal((b, n0, n1))

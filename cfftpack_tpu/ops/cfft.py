@@ -187,12 +187,10 @@ def _fft_split_impl(xr, xi, axis: int, norm: str, inverse: bool,
         if (jax.default_backend() == "tpu"
                 and colfft_eligible(n, xr.shape[-1], xr.dtype)
                 and xr.size >= _COL_MIN_ELEMS):
-            yr, yi = scolfft_pallas(xr, xi, inverse)
+            # norm scale rides inside the kernel store (a separate XLA
+            # multiply after a custom call is an unfused full HBM pass)
             s = inv_scale(norm, n) if inverse else fwd_scale(norm, n)
-            if s != 1.0:
-                yr = yr * s
-                yi = yi * s
-            return yr, yi
+            return scolfft_pallas(xr, xi, inverse, scale=s)
     if move:
         xr = jnp.moveaxis(xr, axis, -1)
         xi = jnp.moveaxis(xi, axis, -1)

@@ -164,6 +164,9 @@ _LANE_BATCH = 128             # one TPU lane tile; flat needs >= this batch
 _BIG_ELEMS = 1 << 24          # past this, chunk the batch (see _fft_any)
 _MAPFOUR_MIN_N = 1 << 17      # chunked four-step below this n loses to
                               # chunked flat (measured v5e)
+_ROWHUGE_MAX_N = 4096         # huge-batch fused-VMEM kernel cap
+                              # (ROWHUGE_AB_r05 sweep top; larger n
+                              # untested there — stream/mapfour own it)
 
 
 def _dft_axis2_dense(xr, xi, n1: int, inverse: bool):
@@ -288,6 +291,14 @@ def _fft_any(xr, xi, n: int, inverse: bool):
     if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
         return _fourstep_local(xr, xi, n, inverse)
     if bp * n >= _BIG_ELEMS and bp % 32 == 0:
+        # huge-batch small/mid-n: the fully-fused VMEM kernel beats the
+        # chunked lax.map 1.05-1.25x at every measured point
+        # (ROWHUGE_AB_r05: n = 512..4096 at 2^24/2^26 elements; the
+        # round-2 "loses everywhere" verdict only covered 2^22 sets)
+        if (jax.default_backend() == "tpu" and n <= _ROWHUGE_MAX_N):
+            from .pallas_fft import pallas_eligible, sfft_pallas
+            if pallas_eligible(n, xr.dtype):
+                return sfft_pallas(xr, xi, n, inverse)
         if n >= _MAPFOUR_MIN_N and split is not None:
             return _map_chunks(
                 lambda a, b: _fourstep_local(a, b, n, inverse), xr, xi, 32)
@@ -532,14 +543,29 @@ def _sirfft_batchpair(yr, yi, n: int):
     return out
 
 
-def _use_pair(n: int, B: int) -> bool:
+def _use_pair(n: int, B: int, dtype=None) -> bool:
     if _RFFT_ENGINE == "pair":
         return B % 2 == 0 and B >= 2 and n > 1
     if _RFFT_ENGINE != "auto":
         return False
+    if B % 2 or B < 2 or n <= 1:
+        return False
     # auto: odd n (the half-length trick does not apply there, so the
     # pair path halves the FFT work outright)
-    return n % 2 == 1 and n > 1 and B % 2 == 0 and B >= 2
+    if n % 2 == 1:
+        return True
+    # round-5: EVEN n in the huge streaming regime.  The pair engine's
+    # inner sfft rides the Pallas stream kernel there and beats the
+    # half-length path 1.4-1.8x at (65536, >= 2^24 elements) —
+    # consistent across runs (RSTREAM_AB_r05 pair_natural legs);
+    # inconsistent at 131072/b64 and a loss below 2^24, so the gate
+    # stays tight.
+    if (n >= 65536 and B * n >= (1 << 24)
+            and (dtype is None or jnp.dtype(dtype) == jnp.float32)
+            and jax.default_backend() == "tpu"):
+        from .pallas_stream import stream_pallas_eligible
+        return stream_pallas_eligible(n, jnp.float32)
+    return False
 
 
 def srfft(x, n: int):
@@ -552,7 +578,7 @@ def srfft(x, n: int):
     _warn_f64_tpu(x.dtype)
     if n == 1:
         return x, jnp.zeros_like(x)
-    if _use_pair(n, _flat_batch(x.shape)):
+    if _use_pair(n, _flat_batch(x.shape), x.dtype):
         return _srfft_batchpair(x, n)
     if n % 2 == 0:
         zr = x[..., 0::2]
@@ -589,7 +615,7 @@ def sirfft(yr, yi, n: int):
     """Unscaled c2r inverse of a packed pair: returns n * x (real)."""
     if n == 1:
         return yr[..., 0:1]
-    if _use_pair(n, _flat_batch(yr.shape)):
+    if _use_pair(n, _flat_batch(yr.shape), yr.dtype):
         return _sirfft_batchpair(yr, yi, n)
     if n % 2 == 0:
         h = n // 2

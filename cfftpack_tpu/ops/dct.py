@@ -248,6 +248,53 @@ def _dst1_core(x, n: int):
     return (-0.5) * yi[..., 1: n + 1]
 
 
+def _dct4_stream_ok(h: int, bp: int, dtype) -> bool:
+    """Gate for the permuted-stream DCT-IV tail: mirror core._fft_any's
+    stream win region for the inner half-length FFT (which would route
+    there anyway) — the tail then merges the post-phase, un-permute and
+    output riffle into ONE gather pass instead of the natural-order
+    transpose + separate riffle (round-4 verdict item 6; measured in
+    DCT4_STREAM_r05.jsonl)."""
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return False
+    from .pallas_stream import stream_pallas_eligible
+    if not stream_pallas_eligible(h, dtype):
+        return False
+    return ((h >= 65536 and bp * h >= (1 << 22))
+            or (h >= 32768 and bp * h >= (1 << 23)))
+
+
+def _dct4_stream_tail(wr, wi, n: int, post):
+    """Permuted-stream tail of the even-n DCT-IV: half-length FFT with
+    PERMUTED output (perm[k2, k1] = X[k2 + m*k1], m = h/128) — the
+    post-phase applied in the permuted layout (host table, free), then
+    un-permute + flip + riffle as one fused assembly:
+
+        y[2t]   =  Re z[t]        t = k2 + m*k1  at perm [k2, k1]
+        y[2t+1] = -Im z[h-1-t]    (h-1-t lives at perm [m-1-k2, 127-k1])
+    """
+    from . import core
+    from .pallas_stream import sfft_stream_pallas_permuted
+    h = n // 2
+    m = h // 128
+    lead = wr.shape[:-1]
+    Wr, Wi = sfft_stream_pallas_permuted(wr, wi, h, False)
+    k2 = np.arange(m)[:, None]
+    k1 = np.arange(128)[None, :]
+    pp = post[(k2 + m * k1).reshape(-1)].reshape(m, 128)
+    ppr = jnp.asarray(pp.real, dtype=wr.dtype)
+    ppi = jnp.asarray(pp.imag, dtype=wr.dtype)
+    Zr = Wr.reshape(lead + (m, 128))
+    Zi = Wi.reshape(lead + (m, 128))
+    zr = Zr * ppr - Zi * ppi
+    zi = Zr * ppi + Zi * ppr
+    # natural t = k1*m + k2 after swapaxes; the flipped -Im plane's
+    # flip rides the same transpose (XLA fuses flips into the copy)
+    A = jnp.swapaxes(zr, -1, -2).reshape(lead + (h,))
+    Bm = jnp.swapaxes(zi[..., ::-1, ::-1], -1, -2).reshape(lead + (h,))
+    return jnp.stack([A, -Bm], axis=-1).reshape(lead + (n,))
+
+
 def _dct4_core(x, n: int):
     """y[k] = sum_j x[j] cos(pi*(k+.5)*(j+.5)/n).
 
@@ -271,6 +318,8 @@ def _dct4_core(x, n: int):
         prei = jnp.asarray(pre.imag, dtype=x.dtype)
         wr = cr * prer - ci * prei
         wi = cr * prei + ci * prer
+        if _dct4_stream_ok(h, core._flat_batch(x.shape), x.dtype):
+            return _dct4_stream_tail(wr, wi, n, post)
         Wr, Wi = core.sfft(wr, wi, h, inverse=False)
         postr = jnp.asarray(post.real, dtype=x.dtype)
         posti = jnp.asarray(post.imag, dtype=x.dtype)

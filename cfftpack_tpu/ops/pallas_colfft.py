@@ -53,6 +53,21 @@ __all__ = ["colfft_eligible", "scolfft_pallas"]
 # in COLFFT_AB_r05 — below this the fused XLA transpose+flat path wins)
 _COL_MIN_ELEMS = 1 << 21
 
+# lane-block width: each DMA row of a column block is `lanes * 4` bytes
+# contiguous at stride N1*4.  Wider blocks were hypothesized to
+# amortize the stride but measured FLAT (COL_LANES_AB_r05: 4474 /
+# 4595 / 4469 us at 128/256/512, (64, 1024, 1024)) and the wider
+# tables+tiles VMEM-OOM the compiler at n0 = 4096 — the strided DMA is
+# not the bottleneck on v5e.  Kept parameterized for v5p/v6 re-checks.
+_COL_LANES = 128
+
+
+def _col_lanes(n1: int) -> int:
+    L = min(_COL_LANES, n1)
+    while n1 % L:
+        L //= 2
+    return max(L, _N1)
+
 
 def colfft_eligible(n0: int, n1: int, dtype) -> bool:
     """Column kernel gate: transform length n0 must have a sublane
@@ -64,9 +79,9 @@ def colfft_eligible(n0: int, n1: int, dtype) -> bool:
 
 
 @functools.lru_cache(maxsize=64)
-def _col_tables(n0: int, inverse: bool):
+def _col_tables(n0: int, inverse: bool, lanes: int = _N1):
     """Per-stage Stockham twiddles for a length-n0 sublane DFT,
-    flattened (rows, 128) and pre-broadcast across lanes (the same
+    flattened (rows, lanes) and pre-broadcast across lanes (the same
     layout pallas_stream._tables builds for its inner m-point DFT)."""
     sgn = 2j * np.pi if inverse else -2j * np.pi
     parts = []
@@ -75,52 +90,63 @@ def _col_tables(n0: int, inverse: bool):
         mn = mm // p
         j = np.arange(mn)[None, :]
         tw = np.exp(sgn * np.arange(p)[:, None] * j / mm)
-        parts.append(np.repeat(tw.reshape(p * mn, 1), _N1, axis=1))
+        parts.append(np.repeat(tw.reshape(p * mn, 1), lanes, axis=1))
         mm = mn
     flat = (np.concatenate(parts, axis=0) if parts
-            else np.zeros((1, _N1), np.complex128))
+            else np.zeros((1, lanes), np.complex128))
     return flat.real.astype(np.float32), flat.imag.astype(np.float32)
 
 
-def _make_col_kernel(n0: int, inverse: bool, bt: int):
+def _make_col_kernel(n0: int, inverse: bool, bt: int, scale: float,
+                     lanes: int):
     sign = 1.0 if inverse else -1.0
+    s = np.float32(scale)
 
     def kernel(xr_ref, xi_ref, twr_ref, twi_ref, or_ref, oi_ref):
         sr, si = _stockham_rows(xr_ref[:], xi_ref[:], bt, n0, sign,
-                                twr_ref, twi_ref)
+                                twr_ref, twi_ref, lanes)
+        # norm scale fused into the store: XLA cannot fuse an
+        # elementwise multiply INTO a custom call, so an outside scale
+        # is a full extra HBM pass at 2-D working-set sizes
+        if scale != 1.0:
+            sr = sr * s
+            si = si * s
         or_ref[:] = sr
         oi_ref[:] = si
 
     return kernel
 
 
-@functools.partial(jax.jit, static_argnums=(2, 3))
-def _colfft_pallas_4d(xr, xi, n0: int, inverse: bool):
-    """(B, n0, C, 128) planes -> same shape, length-n0 DFT over axis 1
-    (natural order in and out)."""
-    B, _, C, _ = xr.shape
-    bt = max(1, _ROW_BUDGET // n0)      # batch rows per grid step
+@functools.partial(jax.jit, static_argnums=(2, 3, 4, 5))
+def _colfft_pallas_3d(xr, xi, n0: int, inverse: bool,
+                      scale: float = 1.0, lanes: int = 0):
+    """(B, n0, N1) planes -> same shape, length-n0 DFT over axis 1
+    (natural order in and out).  The grid's second axis partitions the
+    LANE dim into 128-wide chunks — each grid step DMAs a (bt, n0, 128)
+    slab (a column of lane tiles; Mosaic-legal since the sublane dim is
+    whole and the lane block divides N1), so the column "transpose"
+    happens in block indexing, never as an HBM pass."""
+    B, _, N1 = xr.shape
+    lanes = lanes or _col_lanes(N1)
+    bt = max(1, (_ROW_BUDGET * _N1 // lanes) // n0)  # rows per grid step
     bp = -(-B // bt) * bt
     if bp != B:
-        pad = ((0, bp - B), (0, 0), (0, 0), (0, 0))
+        pad = ((0, bp - B), (0, 0), (0, 0))
         xr = jnp.pad(xr, pad)
         xi = jnp.pad(xi, pad)
-    kernel = _make_col_kernel(n0, inverse, bt)
-    tabs = [jnp.asarray(t) for t in _col_tables(n0, inverse)]
+    kernel = _make_col_kernel(n0, inverse, bt, scale, lanes)
+    tabs = [jnp.asarray(t) for t in _col_tables(n0, inverse, lanes)]
     interp = jax.default_backend() != "tpu"
     ms = pl.ANY if interp else pltpu.VMEM
-    # chunk dim squeezed out of the block: each grid step sees a
-    # (bt, n0, 128) slab gathered by a strided DMA — the (n0, C)
-    # "transpose" happens in the index map, never in HBM
-    blk = pl.BlockSpec((bt, n0, None, _N1), lambda i, j: (i, 0, j, 0),
+    blk = pl.BlockSpec((bt, n0, lanes), lambda i, j: (i, 0, j),
                        memory_space=ms)
     tw = pl.BlockSpec(memory_space=ms)
     yr, yi = pl.pallas_call(
         kernel,
-        grid=(bp // bt, C),
+        grid=(bp // bt, N1 // lanes),
         in_specs=[blk, blk] + [tw] * len(tabs),
         out_specs=[blk, blk],
-        out_shape=[jax.ShapeDtypeStruct((bp, n0, C, _N1), xr.dtype)] * 2,
+        out_shape=[jax.ShapeDtypeStruct((bp, n0, N1), xr.dtype)] * 2,
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -128,13 +154,14 @@ def _colfft_pallas_4d(xr, xi, n0: int, inverse: bool):
     return yr[:B], yi[:B]
 
 
-def scolfft_pallas(xr, xi, inverse: bool = False):
-    """Unscaled DFT over axis -2 of split (re, im) planes of shape
-    (..., n0, n1) — natural order, no transposes (see module
-    docstring).  Requires colfft_eligible(n0, n1, dtype)."""
+def scolfft_pallas(xr, xi, inverse: bool = False, scale: float = 1.0):
+    """DFT over axis -2 of split (re, im) planes of shape (..., n0, n1)
+    — natural order, no transposes (see module docstring), output
+    multiplied by ``scale`` inside the kernel store.  Requires
+    colfft_eligible(n0, n1, dtype)."""
     shape = xr.shape
     n0, n1 = shape[-2], shape[-1]
-    xr4 = xr.reshape(-1, n0, n1 // _N1, _N1)
-    xi4 = xi.reshape(-1, n0, n1 // _N1, _N1)
-    yr, yi = _colfft_pallas_4d(xr4, xi4, n0, inverse)
+    yr, yi = _colfft_pallas_3d(xr.reshape(-1, n0, n1),
+                               xi.reshape(-1, n0, n1), n0, inverse,
+                               float(scale))
     return yr.reshape(shape), yi.reshape(shape)

@@ -148,11 +148,14 @@ def _tables(n: int, inverse: bool):
 
 
 def _stockham_rows(sr, si, bt: int, m: int, sign: float,
-                   twr_ref, twi_ref):
-    """m-point DFT over axis 1 of (bt, m, 128) planes: Stockham with
+                   twr_ref, twi_ref, lanes: int = _N1):
+    """m-point DFT over axis 1 of (bt, m, lanes) planes: Stockham with
     radix-16 middle stages (unrolled DFT-16, same as the tail),
     radix-4/2 fill-in, twiddles fused pre-store, DFT-16 tail.  One
-    stack per stage, no swapaxes."""
+    stack per stage, no swapaxes.  ``lanes`` defaults to the stream
+    kernel's 128; the column kernel passes wider blocks (its DMA rows
+    are strided, so wider lane tiles amortize the stride —
+    COL_LANES_AB_r05)."""
     L, mm, off = 1, m, 0
 
     def tw(q, mn):
@@ -162,8 +165,8 @@ def _stockham_rows(sr, si, bt: int, m: int, sign: float,
 
     for p in _stage_plan(m):
         mn = mm // p
-        Tr = sr.reshape(bt, L, p, mn, _N1)
-        Ti = si.reshape(bt, L, p, mn, _N1)
+        Tr = sr.reshape(bt, L, p, mn, lanes)
+        Ti = si.reshape(bt, L, p, mn, lanes)
         R = [Tr[:, :, j] for j in range(p)]
         I = [Ti[:, :, j] for j in range(p)]
         if p == 2:
@@ -210,18 +213,18 @@ def _stockham_rows(sr, si, bt: int, m: int, sign: float,
             outs_r.append(ur * wr - ui * wi)
             outs_i.append(ur * wi + ui * wr)
         # Stockham store: output digit q is the MSD -> stack at axis 1
-        sr = jnp.stack(outs_r, axis=1).reshape(bt, p * L * mn, _N1)
-        si = jnp.stack(outs_i, axis=1).reshape(bt, p * L * mn, _N1)
+        sr = jnp.stack(outs_r, axis=1).reshape(bt, p * L * mn, lanes)
+        si = jnp.stack(outs_i, axis=1).reshape(bt, p * L * mn, lanes)
         off += p * mn
         L *= p
         mm = mn
 
-    Tr = sr.reshape(bt, L, _TAIL, _N1)
-    Ti = si.reshape(bt, L, _TAIL, _N1)
+    Tr = sr.reshape(bt, L, _TAIL, lanes)
+    Ti = si.reshape(bt, L, _TAIL, lanes)
     rows = [(Tr[:, :, j], Ti[:, :, j]) for j in range(_TAIL)]
     outs = _dft16_rows(rows, sign)
-    sr = jnp.stack([o[0] for o in outs], axis=1).reshape(bt, m, _N1)
-    si = jnp.stack([o[1] for o in outs], axis=1).reshape(bt, m, _N1)
+    sr = jnp.stack([o[0] for o in outs], axis=1).reshape(bt, m, lanes)
+    si = jnp.stack([o[1] for o in outs], axis=1).reshape(bt, m, lanes)
     return sr, si
 
 

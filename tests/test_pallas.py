@@ -360,3 +360,43 @@ def test_rstream_kernels_match_core():
     t_s = np.asarray(rs.sdct3_stream_pallas(jnp.asarray(x), n))
     t_x = np.asarray(dctmod._dct3_core(jnp.asarray(x), n))
     assert np.abs(t_s - t_x).max() / np.abs(t_x).max() < 5e-6
+
+
+def test_colfft_lane_widths_and_scale():
+    """Wider lane blocks and the in-kernel norm scale must be exact
+    (on-chip lane-width A/B: COL_LANES_AB_r05)."""
+    from cfftpack_tpu.ops.pallas_colfft import _colfft_pallas_3d
+    r = np.random.default_rng(53)
+    n0, n1 = 64, 512
+    x = r.standard_normal((2, n0, n1)).astype(np.float32)
+    y = r.standard_normal((2, n0, n1)).astype(np.float32)
+    want = np.fft.fft(x + 1j * y, axis=-2) * 0.25
+    for lanes in (128, 256, 512):
+        zr, zi = _colfft_pallas_3d(jnp.asarray(x), jnp.asarray(y),
+                                   n0, False, 0.25, lanes)
+        got = np.asarray(zr) + 1j * np.asarray(zi)
+        assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
+
+
+def test_dct4_stream_tail_matches_core():
+    """Permuted-stream DCT-IV tail (dct._dct4_stream_tail): fused
+    post-phase + un-permute + riffle must equal the shipped natural
+    path (on-chip A/B: DCT4_STREAM_r05)."""
+    import importlib
+    dctmod = importlib.import_module("cfftpack_tpu.ops.dct")
+    r = np.random.default_rng(57)
+    n = 4096                      # h = 2048: stream-eligible shape
+    h = n // 2
+    x = r.standard_normal((4, n)).astype(np.float32)
+    want = np.asarray(dctmod._dct4_core(jnp.asarray(x), n))
+    p = np.arange(h)
+    pre = np.exp(-1j * np.pi * p / n)
+    post = np.exp(-1j * np.pi * (2 * p + 0.5) / (2 * n))
+    cr = x[:, 0::2]
+    ci = x[:, ::-1][:, 0::2]
+    prer = pre.real.astype(np.float32)
+    prei = pre.imag.astype(np.float32)
+    wr = jnp.asarray(cr * prer - ci * prei)
+    wi = jnp.asarray(cr * prei + ci * prer)
+    got = np.asarray(dctmod._dct4_stream_tail(wr, wi, n, post))
+    assert np.abs(got - want).max() / np.abs(want).max() < 5e-6
