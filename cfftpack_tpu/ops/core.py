@@ -283,11 +283,21 @@ def _fft_any(xr, xi, n: int, inverse: bool):
         # suffices at n >= 65536); ties at (65536, 128); loses at
         # n <= 16384.  TPU only — the CPU fallback is interpret-mode.
         from .pallas_stream import (stream_pallas_eligible,
-                                    sfft_stream_pallas)
+                                    sfft_stream_pallas,
+                                    _filter_split_factor,
+                                    sfft_stream_split)
         if stream_pallas_eligible(n, xr.dtype) and (
                 (n >= 65536 and bp * n >= (1 << 22))
                 or (n >= 32768 and bp * n >= (1 << 23))):
             return sfft_stream_pallas(xr, xi, n, inverse)
+        # past the kernel's whole-transform VMEM cap (m > _MAX_M, e.g.
+        # single-chip 2^20): s-way split around inner stream kernels —
+        # 3.47x over the fourstep/chunked fallback at (2^20, 8)
+        # (STREAM65K_r05 n2e20 leg)
+        if jnp.dtype(xr.dtype) == jnp.float32 and bp * n >= (1 << 22):
+            sp = _filter_split_factor(n)
+            if sp is not None and sp > 1:
+                return sfft_stream_split(xr, xi, n, inverse)
     if n >= _FOURSTEP_MIN and bp < _LANE_BATCH and split is not None:
         return _fourstep_local(xr, xi, n, inverse)
     if bp * n >= _BIG_ELEMS and bp % 32 == 0:

@@ -497,8 +497,107 @@ def _prep_real(x):
     return x
 
 
+# ------------------------------------------- column DCT-II/III (round 5)
+#
+# dctn's per-axis passes pay moveaxis relayouts around the 1-D cores —
+# SWEEP2D_r04 put dctn at 0.045-0.062 of roofline, the worst line on
+# the perf surface.  For the axis==-2 pass of 2-D programs the DCT
+# rides the transpose-free column kernel instead: batch-pair two
+# images into one complex plane pair (re, im), Makhoul-permute over
+# SUBLANES (one fused gather), one length-n0 column FFT
+# (pallas_colfft), and a single merge pass combining the conjugate-
+# mirror (sublane slice+flip) with the phase rotation.  Reference
+# analog: dct_2d's second pass (cfftextra.c:305-330) done column-wise.
+
+def _coldct_ok(x, n0: int) -> bool:
+    if jax.default_backend() != "tpu":
+        return False
+    if x.dtype != jnp.float32 or x.ndim < 3 or n0 % 2:
+        return False
+    B = 1
+    for d in x.shape[:-2]:
+        B *= int(d)
+    if B % 2 or B < 2:
+        return False
+    from .pallas_colfft import _COL_MIN_ELEMS, colfft_eligible
+    return (colfft_eligible(n0, x.shape[-1], x.dtype)
+            and x.size >= _COL_MIN_ELEMS)
+
+
+def _coldct2_core(x, n: int):
+    """_dct2_core contract (unscaled DCT-II) over axis -2 of
+    (..., n, n1), flat image count EVEN — pair + column-kernel path."""
+    from .pallas_colfft import scolfft_pallas
+    n1 = x.shape[-1]
+    xp = x.reshape(-1, 2, n, n1)
+    # Makhoul permutation over sublanes: v = [x_even; reversed x_odd]
+    v = jnp.concatenate([xp[..., 0::2, :], xp[..., 1::2, :][..., ::-1, :]],
+                        axis=-2)
+    Zr, Zi = scolfft_pallas(v[:, 0], v[:, 1])
+    # conjugate mirror over the transform axis: Zm[k] = Z[(n-k)%n]
+    Zmr = jnp.concatenate([Zr[:, :1], Zr[:, 1:][:, ::-1]], axis=1)
+    Zmi = jnp.concatenate([Zi[:, :1], Zi[:, 1:][:, ::-1]], axis=1)
+    k = np.arange(n)
+    ph = np.exp(-1j * np.pi * k / (2 * n))
+    phr = jnp.asarray(ph.real[:, None], dtype=x.dtype)
+    phi = jnp.asarray(ph.imag[:, None], dtype=x.dtype)
+    # A = (Z + conj(Zm))/2, B = -i(Z - conj(Zm))/2; y = Re(ph * .)
+    # (halves folded into the phase tables)
+    phr = 0.5 * phr
+    phi = 0.5 * phi
+    ya = (Zr + Zmr) * phr - (Zi - Zmi) * phi
+    yb = (Zi + Zmi) * phr + (Zr - Zmr) * phi
+    return jnp.stack([ya, yb], axis=1).reshape(x.shape)
+
+
+def _coldct3_core(x, n: int):
+    """_dct3_core contract (unscaled DCT-III) over axis -2 of
+    (..., n, n1), flat image count EVEN."""
+    from .pallas_colfft import scolfft_pallas
+    n1 = x.shape[-1]
+    xp = x.reshape(-1, 2, n, n1)
+    a, b = xp[:, 0], xp[:, 1]
+    z0 = jnp.zeros_like(a[:, :1])
+    # x[(n-k)%n] with x_n := 0
+    am = jnp.concatenate([z0, a[:, 1:][:, ::-1]], axis=1)
+    bm = jnp.concatenate([z0, b[:, 1:][:, ::-1]], axis=1)
+    k = np.arange(n)
+    ph = np.exp(1j * np.pi * k / (2 * n))
+    phr = jnp.asarray(ph.real[:, None], dtype=x.dtype)
+    phi = jnp.asarray(ph.imag[:, None], dtype=x.dtype)
+    # Va = ph*(a - i am), Vb = ph*(b - i bm); Z = Va + i Vb
+    Zr = phr * a + phi * am - (phi * b - phr * bm)
+    Zi = phi * a - phr * am + (phr * b + phi * bm)
+    zr, zi = scolfft_pallas(Zr, Zi, inverse=True, scale=0.5)
+    # un-permute over sublanes: y[2j] = v[j], y[2j+1] = v[n-1-j]
+    h = n // 2
+
+    def unperm(v):
+        return jnp.stack([v[:, :h], v[:, h:][:, ::-1]],
+                         axis=2).reshape(-1, n, n1)
+
+    return jnp.stack([unperm(zr), unperm(zi)],
+                     axis=1).reshape(x.shape)
+
+
 def _run(table, t: int, x, axis: int, mode: int):
     n = x.shape[axis]
+    ax = axis % x.ndim
+    if ax == x.ndim - 2 and t in (2, 3) and _coldct_ok(x, n):
+        if t == 3 and mode == 0:
+            # ortho DCT-III pre-weights the INPUT (row scales along the
+            # transform axis; mirrors _dct3_apply's 1-D weights)
+            w = np.full(n, np.sqrt(2.0 / n))
+            w[0] = 2.0 / np.sqrt(n)
+            x = x * jnp.asarray(w[:, None], dtype=x.dtype)
+        y = (_coldct2_core if t == 2 else _coldct3_core)(x, n)
+        if mode > 0:
+            return y * jnp.asarray(2.0 / n, dtype=y.dtype)
+        if mode == 0 and t == 2:
+            w = np.full(n, np.sqrt(2.0 / n))
+            w[0] = np.sqrt(1.0 / n)
+            y = y * jnp.asarray(w[:, None], dtype=y.dtype)
+        return y
     return _apply_axis(x, axis, partial(table[t], n=n, mode=mode))
 
 

@@ -67,6 +67,7 @@ __all__ = ["stream_pallas_eligible", "sfft_stream_pallas",
 _N1 = 128          # lanes = outer DFT length
 _TAIL = 16
 _ROW_BUDGET = 4096  # sublane rows (bt * m) per grid step
+_ROW_BUDGET_BIG_M = 2048  # smaller tiles for m >= 1024 (see _tile_batch)
 _MAX_M = 4096       # largest whole-transform row count that fits VMEM:
                     # m = 8192 (n = 2^20) needs 156.5M of the chip's
                     # 128M (double-buffered in/out windows + twiddle
@@ -106,7 +107,13 @@ def _stage_plan(m: int):
 
 
 def _tile_batch(m: int, rows: int = 0) -> int:
-    return max(1, (rows or _ROW_BUDGET) // m)
+    if not rows:
+        # large-m transforms prefer SMALLER grid tiles: more grid
+        # steps -> better DMA/compute overlap (STREAM65K_r05 rows
+        # sweep at (131072, 64): bt2 355us vs default-bt4 839us;
+        # confirmed within-run by the bt1 leg at 380us)
+        rows = _ROW_BUDGET_BIG_M if m >= 1024 else _ROW_BUDGET
+    return max(1, rows // m)
 
 
 def stream_pallas_eligible(n: int, dtype) -> bool:
