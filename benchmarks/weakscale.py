@@ -18,8 +18,12 @@ command runs unchanged on a real multi-chip slice the day one exists —
 that is the point of committing the harness (the verdict's "ready-to-
 run efficiency artifact").
 
-    JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
-        python benchmarks/weakscale.py
+    XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+        python benchmarks/weakscale.py --cpu
+
+(--cpu pins the CPU platform via jax.config — the JAX_PLATFORMS env
+var does NOT survive this image's sitecustomize; on a real multi-chip
+slice drop the flag and the ambient platform is used.)
 
 Emits one JSON line per (workload, d) plus a summary line with the
 efficiency vector, appended to benchmarks/results/WEAKSCALE_r05.jsonl.
@@ -73,6 +77,7 @@ def _per_iter(body, state, lo=2, hi=12):
 
 def measure(d: int, devs):
     """One weak-scaling point: d devices, d-fold problem."""
+    import jax
     import jax.numpy as jnp
     from jax.sharding import NamedSharding, PartitionSpec as P
     from cfftpack_tpu.parallel import make_mesh
@@ -83,9 +88,9 @@ def measure(d: int, devs):
     r = np.random.default_rng(0)
     b = ROWS_PER_DEV * d
     sh = NamedSharding(mesh, P("data", None))
-    ar = jnp.device_put(
+    ar = jax.device_put(
         r.standard_normal((b, N)).astype(np.float32), sh)
-    ai = jnp.device_put(
+    ai = jax.device_put(
         r.standard_normal((b, N)).astype(np.float32), sh)
     s = np.float32(1.0 / np.sqrt(N))
 
@@ -117,6 +122,8 @@ def measure(d: int, devs):
 
 def main():
     import jax
+    if "--cpu" in sys.argv:
+        jax.config.update("jax_platforms", "cpu")
 
     devs = jax.devices()
     D = len(devs)
