@@ -578,6 +578,21 @@ def _use_pair(n: int, B: int, dtype=None) -> bool:
     return False
 
 
+def _use_rstream(n: int, B: int, dtype) -> bool:
+    """Permuted-merge streaming rfft band: n >= 65536 with 2^22..2^24
+    elements (RSTREAM_AB_r05, fixed-mirror run: 324 vs 437 us at
+    (65536, 64)); past 2^24 the natural-space pair engine wins and
+    _use_pair takes it first."""
+    if _RFFT_ENGINE != "auto" or n % 2 or B % 2 or B < 2:
+        return False
+    if not (n >= 65536 and (1 << 22) <= B * n < (1 << 24)):
+        return False
+    if jnp.dtype(dtype) != jnp.float32 or jax.default_backend() != "tpu":
+        return False
+    from .pallas_rstream import rstream_eligible
+    return rstream_eligible(n, dtype, B)
+
+
 def srfft(x, n: int):
     """Unscaled r2c DFT of real x -> (re, im) pair of n//2+1 bins.
 
@@ -590,6 +605,9 @@ def srfft(x, n: int):
         return x, jnp.zeros_like(x)
     if _use_pair(n, _flat_batch(x.shape), x.dtype):
         return _srfft_batchpair(x, n)
+    if _use_rstream(n, _flat_batch(x.shape), x.dtype):
+        from .pallas_rstream import srfft_stream_pallas
+        return srfft_stream_pallas(x, n)
     if n % 2 == 0:
         zr = x[..., 0::2]
         zi = x[..., 1::2]
@@ -627,6 +645,9 @@ def sirfft(yr, yi, n: int):
         return yr[..., 0:1]
     if _use_pair(n, _flat_batch(yr.shape), yr.dtype):
         return _sirfft_batchpair(yr, yi, n)
+    if _use_rstream(n, _flat_batch(yr.shape), yr.dtype):
+        from .pallas_rstream import sirfft_stream_pallas
+        return sirfft_stream_pallas(yr, yi, n)
     if n % 2 == 0:
         h = n // 2
         ya = yr[..., :h]

@@ -86,6 +86,13 @@ def _dct2_core(x, n: int):
     from . import core
     if n == 1:
         return x
+    if core._use_rstream(n, core._flat_batch(x.shape), x.dtype):
+        # streaming pair variant in the 2^22..2^24-element band at
+        # n >= 65536 (RSTREAM_AB_r05: 565 vs 866 / 320 vs 345 us at
+        # (65536, 64) across runs; LOSES or mixed past 2^24 — gated by
+        # the same band as the rfft dispatch)
+        from .pallas_rstream import sdct2_stream_pallas
+        return sdct2_stream_pallas(x, n)
     if n % 2:
         # odd n: Makhoul permutation + full-length real DFT
         v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]],
@@ -170,6 +177,10 @@ def _dct3_core(x, n: int):
     from . import core
     if n == 1:
         return 0.5 * x
+    if core._use_rstream(n, core._flat_batch(x.shape), x.dtype):
+        # same streaming band as _dct2_core (see note there)
+        from .pallas_rstream import sdct3_stream_pallas
+        return sdct3_stream_pallas(x, n)
     h = n // 2
     if n % 2 == 0:
         m = (n + 2) // 4 if n % 4 else n // 4

@@ -163,6 +163,70 @@ def main():
         check(f"dct f64-route n={n}", relerr(ct.dct(xr, 3),
                                              g[f"dct_fwd_{n}"]), tol=1e-13)
 
+    # round-5 legs ------------------------------------------------
+    # compiled column kernel (auto-dispatched at >= 2^21 elems; forced
+    # here at a fast-compiling size via the direct entry)
+    from cfftpack_tpu.ops import pallas_colfft as _pc
+    ac = r4.standard_normal((2, 64, 256)).astype(np.float32)
+    bc = r4.standard_normal((2, 64, 256)).astype(np.float32)
+    cr, ci = _pc.scolfft_pallas(jnp.asarray(ac), jnp.asarray(bc),
+                                scale=0.5)
+    wantc = np.fft.fft(ac.astype(np.float64)
+                       + 1j * bc.astype(np.float64), axis=-2) * 0.5
+    check("colfft 64x256 (scaled)",
+          relerr(np.asarray(cr) + 1j * np.asarray(ci), wantc))
+
+    # compiled real-stream kernels (opt-in surface)
+    from cfftpack_tpu.ops import pallas_rstream as _rs
+    xs = r4.standard_normal((4, 2048)).astype(np.float32)
+    yr5, yi5 = _rs.srfft_stream_pallas(jnp.asarray(xs), 2048)
+    wr5 = np.fft.rfft(xs.astype(np.float64))
+    check("rstream rfft n=2048",
+          relerr(np.asarray(yr5) + 1j * np.asarray(yi5), wr5))
+    back5 = np.asarray(_rs.sirfft_stream_pallas(yr5, yi5, 2048)) / 2048
+    check("rstream irfft roundtrip", relerr(back5, xs))
+
+    # dct4 permuted-stream tail (auto gate fires only at huge n; force
+    # the tail at a fast size via the direct entry)
+    import importlib as _il
+    _dct = _il.import_module("cfftpack_tpu.ops.dct")
+    n5, h5 = 4096, 2048
+    xd = r4.standard_normal((4, n5)).astype(np.float32)
+    p5 = np.arange(h5)
+    pre5 = np.exp(-1j * np.pi * p5 / n5)
+    post5 = np.exp(-1j * np.pi * (2 * p5 + 0.5) / (2 * n5))
+    crr = xd[:, 0::2]
+    cii = xd[:, ::-1][:, 0::2]
+    wr_ = jnp.asarray(crr * pre5.real.astype(np.float32)
+                      - cii * pre5.imag.astype(np.float32))
+    wi_ = jnp.asarray(crr * pre5.imag.astype(np.float32)
+                      + cii * pre5.real.astype(np.float32))
+    got_t = np.asarray(_dct._dct4_stream_tail(wr_, wi_, n5, post5))
+    want_t = np.asarray(_dct._dct4_core(jnp.asarray(xd), n5))
+    check("dct4 stream tail n=4096", relerr(got_t, want_t))
+
+    # split-stream complex FFT (auto-dispatched at n >= 2^20; compiled
+    # here at the dispatch size with a tiny batch for compile speed)
+    from cfftpack_tpu.ops import pallas_stream as _ps
+    n6 = 1 << 20
+    xr6 = r4.standard_normal((2, n6)).astype(np.float32)
+    xi6 = r4.standard_normal((2, n6)).astype(np.float32)
+    sr6, si6 = _ps.sfft_stream_split(jnp.asarray(xr6), jnp.asarray(xi6),
+                                     n6, False)
+    fr6, fi6 = _core._fourstep_local(jnp.asarray(xr6), jnp.asarray(xi6),
+                                     n6, False)
+    check("split-stream n=2^20 vs fourstep",
+          relerr(np.asarray(sr6) + 1j * np.asarray(si6),
+                 np.asarray(fr6) + 1j * np.asarray(fi6)))
+
+    # column DCT (pair + colfft) vs the moveaxis path
+    xcd = r4.standard_normal((2, 64, 256)).astype(np.float32)
+    got_cd = np.asarray(_dct._coldct2_core(jnp.asarray(xcd), 64))
+    want_cd = np.asarray(jnp.moveaxis(
+        _dct._dct2_core(jnp.moveaxis(jnp.asarray(xcd), -2, -1), 64),
+        -1, -2))
+    check("coldct2 64x256", relerr(got_cd, want_cd))
+
     width = max(len(r[0]) for r in rows) + 2
     bad = 0
     for name, err, status in rows:
