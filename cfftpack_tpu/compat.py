@@ -77,6 +77,7 @@ class _Plan:
             raise ValueError(f"{self.kind}_create: size must be > 0, got {n}")
         self.n = int(n)
         self.ortho = False
+        self.inc = 1
 
     # C-style free is a no-op: plans hold no device buffers
     def free(self):
@@ -91,6 +92,29 @@ class _Plan:
                 f"{want}")
         return data
 
+    def _run_strided(self, data, fn):
+        """fft_stride support: transform the inc-strided last-axis view
+        and scatter results back over an untouched copy of the buffer
+        (see fft_stride docstring)."""
+        inc = self.inc
+        if inc == 1:
+            return fn(data)
+        data = _host_or_device(data)
+        need = (self.n - 1) * inc + 1
+        if data.shape[-1] < need:
+            raise ValueError(
+                f"{self.kind}: stride {inc} needs a last axis >= {need}, "
+                f"got {data.shape[-1]}")
+        view = data[..., :need:inc]
+        out = fn(view)
+        if isinstance(data, np.ndarray):
+            buf = np.array(data, copy=True,
+                           dtype=np.promote_types(data.dtype, out.dtype))
+            buf[..., :need:inc] = out
+            return buf
+        buf = data.astype(jnp.promote_types(data.dtype, out.dtype))
+        return buf.at[..., :need:inc].set(out)
+
 
 def fft_free(f: _Plan):
     f.free()
@@ -103,9 +127,32 @@ def fft_ortho(f: _Plan, ortho: bool):
 
 
 def fft_stride(f: _Plan, stride: int):
-    raise NotImplementedError(
-        "fft_stride is not reproduced: address by shape/axis instead "
-        "(the reference admits stride is broken on some calcs, README.md:9)")
+    """Element stride for subsequent transforms (cfftpack.c:51-57: sets
+    fft_t.inc, the stride cfft1f_ et al. walk; <= 0 resets to 1).
+
+    The working subset the reference itself exercises is reproduced:
+    the plan transforms the ``inc``-strided view of the last axis
+    (elements 0, inc, 2*inc, ...) and writes results back into a copy
+    of the buffer, leaving the gap elements untouched — exactly the
+    column-walk ``naive_real_2d`` uses it for
+    (/root/reference/test/naivepack.c:269-288).  Every compat plan is
+    length-preserving, so this works for all kinds.  (The reference
+    README admits stride is otherwise "broken on some calcs"; for 2-D
+    work prefer the axis= arguments of the modern API, which also hit
+    the transpose-free column kernel on TPU.)
+    """
+    f.inc = int(stride) if stride > 0 else 1
+    if f.inc > 1 and not getattr(f, "_stride_wrapped", False):
+        f._stride_wrapped = True
+        for name in ("forward", "inverse"):
+            orig = getattr(f, name, None)
+            if orig is None:
+                continue
+
+            def wrapped(data, _orig=orig, _f=f):
+                return _f._run_strided(data, _orig)
+
+            setattr(f, name, wrapped)
 
 
 fftshift = ops.fftshift

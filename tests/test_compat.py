@@ -152,3 +152,49 @@ def test_create_validation():
     with pytest.raises(ValueError):
         f.forward(np.ones(9, dtype=np.complex128))
     cc.fft_free(f)  # no-op, must not raise
+
+
+def test_fft_stride_column_walk():
+    """fft_stride (round-5: the last stubbed API) — the reference's own
+    use case: naive_real_2d's column walk (naivepack.c:269-288) strides
+    the second-axis transform through a flat column-major buffer.
+    Equivalence: strided forward == forward(gathered view) scattered
+    back, and the 2-D composition matches fft2."""
+    import numpy as np
+    from cfftpack_tpu import compat as cp
+    import cfftpack_tpu as ct
+    r = np.random.default_rng(81)
+    m, n = 8, 6
+    x = (r.standard_normal((m, n)) + 1j * r.standard_normal((m, n)))
+    # column-major flat buffer like the C harness: y[i + j*m] = x[i, j]
+    y = np.asarray(x).flatten(order="F").astype(np.complex128)
+    fm = cp.fft_create(m)
+    fn = cp.fft_create(n)
+    cp.fft_stride(fn, m)
+    # rows of the buffer = contiguous length-m columns of x
+    for j in range(n):
+        y[j * m:(j + 1) * m] = np.asarray(fm.forward(y[j * m:(j + 1) * m]))
+    # strided pass: offset i, stride m — the reference's second loop
+    for i in range(m):
+        seg = y[i: i + (n - 1) * m + 1]
+        y[i: i + (n - 1) * m + 1] = np.asarray(fn.forward(seg))
+    got = y.reshape((m, n), order="F")
+    want = np.asarray(ct.fft2(x))
+    assert np.abs(got - want).max() / np.abs(want).max() < 1e-12
+    # gap elements untouched by a strided call
+    f3 = cp.fft_create(3)
+    cp.fft_stride(f3, 2)
+    buf = np.arange(6, dtype=np.complex128)
+    out = np.asarray(f3.forward(buf))
+    assert np.allclose(out[1::2], buf[1::2])     # gaps preserved
+    view = np.asarray(cp.fft_create(3).forward(buf[0:5:2]))
+    assert np.allclose(out[0:5:2], view)
+    # reset semantics + error on short buffers
+    cp.fft_stride(f3, 0)
+    assert f3.inc == 1
+    cp.fft_stride(f3, 4)
+    try:
+        f3.forward(np.zeros(5, np.complex128))
+        raise AssertionError("short strided buffer accepted")
+    except ValueError:
+        pass
