@@ -106,14 +106,23 @@ def _stage_plan(m: int):
     return stages
 
 
-def _tile_batch(m: int, rows: int = 0) -> int:
+def _tile_batch(m: int, rows: int = 0, b: int = 0) -> int:
     if not rows:
         # large-m transforms prefer SMALLER grid tiles: more grid
         # steps -> better DMA/compute overlap (STREAM65K_r05 rows
         # sweep at (131072, 64): bt2 355us vs default-bt4 839us;
         # confirmed within-run by the bt1 leg at 380us)
         rows = _ROW_BUDGET_BIG_M if m >= 1024 else _ROW_BUDGET
-    return max(1, rows // m)
+    bt = max(1, rows // m)
+    # grid-step floor: below ~16 steps the double-buffered DMA cannot
+    # hide behind the stage bodies and the default tile reads 2-5x
+    # worse (STREAM65K_FWD_r05, both runs, (65536, 64): default-bt8 at
+    # 8 steps worst leg; bt1/2/4 cluster ~300us).  Only kicks in at
+    # small batch; (65536, 256) at 32 steps measured flat-to-worse
+    # with smaller tiles and keeps the plain budget.
+    if b and bt > 1 and b // bt < 16:
+        bt = max(1, -(-b // 16))
+    return bt
 
 
 def stream_pallas_eligible(n: int, dtype) -> bool:
@@ -314,7 +323,7 @@ def _stream_pallas_2d(xr, xi, n: int, inverse: bool, rows: int = 0):
     measured default _ROW_BUDGET)."""
     b = xr.shape[0]
     m = n // _N1
-    bt = _tile_batch(m, rows)
+    bt = _tile_batch(m, rows, b)
     bp = -(-b // bt) * bt
     if bp != b:
         pad = ((0, bp - b), (0, 0), (0, 0))
