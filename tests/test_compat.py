@@ -146,8 +146,6 @@ def test_create_validation():
         cc.dct4_create(5)   # even only
     with pytest.raises(ValueError):
         cc.gdft_create(8, 1.5, 0.0)
-    with pytest.raises(NotImplementedError):
-        cc.fft_stride(cc.fft_create(8), 2)
     f = cc.fft_create(8)
     with pytest.raises(ValueError):
         f.forward(np.ones(9, dtype=np.complex128))
