@@ -246,7 +246,9 @@ def _stockham_rows(sr, si, bt: int, m: int, sign: float,
 
 def _make_kernel(n: int, inverse: bool, bt: int):
     m = n // _N1
-    sign = 1.0 if inverse else -1.0
+    # inverse may be a mode string: "filter"/"inv_nat" are inverse-sign,
+    # "fwd_nat" is forward-sign (natural-layout DMA variants)
+    sign = -1.0 if inverse in (False, "fwd_nat") else 1.0
 
     def _cdot128(Yr, Yi, Dr, Di):
         """Complex (rows, 128) @ (128, 128) in THREE real MXU dots
@@ -310,8 +312,37 @@ def _make_kernel(n: int, inverse: bool, bt: int):
         _inv_body(xr * fr - xi * fi, xr * fi + xi * fr, dr_ref, di_ref,
                   t1r_ref, t1i_ref, twr_ref, twi_ref, or_ref, oi_ref)
 
+    def fwd_nat_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref,
+                       t1i_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # same pipeline, but the un-permute transpose happens IN VMEM
+        # and the output DMA writes natural order directly — saving the
+        # XLA transpose pass (a full HBM read+write) that
+        # sfft_stream_pallas otherwise pays (STREAM_NAT_r05 A/B)
+        sr, si = _stockham_rows(xr_ref[:], xi_ref[:], bt, m, sign,
+                                twr_ref, twi_ref)
+        t1r = t1r_ref[:][None]
+        t1i = t1i_ref[:][None]
+        yr = sr * t1r - si * t1i
+        yi = sr * t1i + si * t1r
+        Zr, Zi = _cdot128(yr.reshape(bt * m, _N1),
+                          yi.reshape(bt * m, _N1),
+                          dr_ref[:], di_ref[:])
+        or_ref[:] = jnp.swapaxes(Zr.reshape(bt, m, _N1), 1, 2)
+        oi_ref[:] = jnp.swapaxes(Zi.reshape(bt, m, _N1), 1, 2)
+
+    def inv_nat_kernel(xr_ref, xi_ref, dr_ref, di_ref, t1r_ref,
+                       t1i_ref, twr_ref, twi_ref, or_ref, oi_ref):
+        # natural (bt, 128, m) in -> permute in VMEM -> inverse pipeline
+        _inv_body(jnp.swapaxes(xr_ref[:], 1, 2),
+                  jnp.swapaxes(xi_ref[:], 1, 2), dr_ref, di_ref,
+                  t1r_ref, t1i_ref, twr_ref, twi_ref, or_ref, oi_ref)
+
     if inverse == "filter":
         return filter_inv_kernel
+    if inverse == "inv_nat":
+        return inv_nat_kernel
+    if inverse == "fwd_nat":
+        return fwd_nat_kernel
     return inv_kernel if inverse else fwd_kernel
 
 
@@ -342,6 +373,47 @@ def _stream_pallas_2d(xr, xi, n: int, inverse: bool, rows: int = 0):
         in_specs=[blk, blk] + [tw] * len(tabs),
         out_specs=[blk, blk],
         out_shape=[jax.ShapeDtypeStruct((bp, m, _N1), xr.dtype)] * 2,
+        interpret=interp,
+        compiler_params=None if interp else pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+    )(xr, xi, *tabs)
+    return yr[:b], yi[:b]
+
+
+@functools.partial(jax.jit, static_argnums=(2, 3, 4))
+def _stream_pallas_2d_nat(xr, xi, n: int, inverse: bool, rows: int = 0):
+    """Natural-layout-side variant of _stream_pallas_2d: the permuted
+    <-> natural transpose rides the kernel's VMEM (an in-register
+    relayout) instead of a separate XLA HBM pass.
+
+    Forward: (b, m, 128) natural rows in -> (b, 128, m) natural
+    spectrum out (flat k = k1*m + k2).  Inverse: (b, 128, m) natural
+    spectrum in -> (b, m, 128) natural signal out."""
+    b = xr.shape[0]
+    m = n // _N1
+    bt = _tile_batch(m, rows, b)
+    bp = -(-b // bt) * bt
+    if bp != b:
+        pad = ((0, bp - b), (0, 0), (0, 0))
+        xr = jnp.pad(xr, pad)
+        xi = jnp.pad(xi, pad)
+    kernel = _make_kernel(n, "inv_nat" if inverse else "fwd_nat", bt)
+    tabs = [jnp.asarray(t) for t in _tables(n, bool(inverse))]
+    interp = jax.default_backend() != "tpu"
+    ms = pl.ANY if interp else pltpu.VMEM
+    perm = pl.BlockSpec((bt, m, _N1), lambda i: (i, 0, 0),
+                        memory_space=ms)
+    nat = pl.BlockSpec((bt, _N1, m), lambda i: (i, 0, 0),
+                       memory_space=ms)
+    inb, outb = (nat, perm) if inverse else (perm, nat)
+    out_shape = ((bp, m, _N1) if inverse else (bp, _N1, m))
+    tw = pl.BlockSpec(memory_space=ms)
+    yr, yi = pl.pallas_call(
+        kernel,
+        grid=(bp // bt,),
+        in_specs=[inb, inb] + [tw] * len(tabs),
+        out_specs=[outb, outb],
+        out_shape=[jax.ShapeDtypeStruct(out_shape, xr.dtype)] * 2,
         interpret=interp,
         compiler_params=None if interp else pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
@@ -751,26 +823,21 @@ def sfft_mm2_pallas_permuted(xr, xi, n: int, inverse: bool,
 
 def sfft_stream_pallas(xr, xi, n: int, inverse: bool, rows: int = 0):
     """Natural-order streaming FFT over the last axis (core.sfft
-    contract).  Costs ONE XLA transpose pass on the permuted side —
-    benchmarks that chain fwd+inv should use the *_permuted form."""
+    contract).  The permuted<->natural transpose rides the kernel's
+    VMEM (_stream_pallas_2d_nat) instead of a separate XLA HBM pass —
+    measured ~8-9% on the roundtrip at (65536, 64/256)
+    (STREAM_NAT_r05); fwd+filter+inv pipelines should still use the
+    *_permuted form (zero transposes anywhere)."""
     shape = xr.shape
     m = n // _N1
-
-    def to_permuted(v):
-        # natural (.., 128, m) -> rows k2, lanes k1
-        return jnp.swapaxes(v.reshape(-1, _N1, m), -1, -2)
-
-    def from_permuted(v):
-        return jnp.swapaxes(v, -1, -2).reshape(-1, n)
-
     if inverse:
-        xr2 = to_permuted(xr.reshape(-1, n))
-        xi2 = to_permuted(xi.reshape(-1, n))
-        yr, yi = _stream_pallas_2d(xr2, xi2, n, True, rows)
+        xr2 = xr.reshape(-1, _N1, m)
+        xi2 = xi.reshape(-1, _N1, m)
+        yr, yi = _stream_pallas_2d_nat(xr2, xi2, n, True, rows)
         return (yr.reshape(-1, n).reshape(shape),
                 yi.reshape(-1, n).reshape(shape))
     xr2 = xr.reshape(-1, m, _N1)
     xi2 = xi.reshape(-1, m, _N1)
-    yr, yi = _stream_pallas_2d(xr2, xi2, n, False, rows)
-    return (from_permuted(yr).reshape(shape),
-            from_permuted(yi).reshape(shape))
+    yr, yi = _stream_pallas_2d_nat(xr2, xi2, n, False, rows)
+    return (yr.reshape(-1, n).reshape(shape),
+            yi.reshape(-1, n).reshape(shape))
