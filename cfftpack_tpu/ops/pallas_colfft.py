@@ -50,7 +50,8 @@ __all__ = ["colfft_eligible", "scolfft_pallas"]
 
 # auto-dispatch floor for cfft._fft_split_impl's column-pass branch
 # (total elements across both planes of the 2-D slab; measured on-chip
-# in COLFFT_AB_r05 — below this the fused XLA transpose+flat path wins)
+# in COLFFT_AB_r05 — below this the fused XLA transpose+flat path
+# wins); compared against ONE plane's element count
 _COL_MIN_ELEMS = 1 << 21
 
 # lane-block width: each DMA row of a column block is `lanes * 4` bytes

@@ -39,8 +39,10 @@ sequential lax.map (0.07-0.21 of roofline, BASELINE.md dispatch grid):
 Output layout is PERMUTED: out[b, k2, k1] = X[k2 + m*k1] (rows k2,
 lanes k1).  The inverse kernel consumes exactly this layout and emits
 natural order, so fwd+filter+inv pipelines run with ZERO transposes
-end-to-end; natural-order one-way output costs one XLA transpose pass
-(``sfft_stream_pallas`` pays it; ``*_permuted`` entry points do not).
+end-to-end.  Natural-order one-way entries (``sfft_stream_pallas``)
+use the fwd_nat/inv_nat kernel variants, which fold the
+permuted<->natural transpose into the kernel's VMEM instead of an XLA
+HBM pass (~8-9% on natural roundtrips, STREAM_NAT_r05).
 
 Eligibility: f32 planes, n = 128 * m with m a 5-smooth multiple of
 16 (every power-of-two n >= 2048, plus 3/5-mixed sizes like 98304,
@@ -453,7 +455,7 @@ def _stream_filter_inv_2d(xr, xi, fpr, fpi, n: int, rows: int = 0):
     b = xr.shape[0]
     m = n // _N1
     s = fpr.shape[0]
-    bt = 1 if s > 1 else _tile_batch(m, rows)
+    bt = 1 if s > 1 else _tile_batch(m, rows, b)
     bp = -(-b // bt) * bt
     if bp != b:
         pad = ((0, bp - b), (0, 0), (0, 0))
