@@ -578,6 +578,28 @@ def _use_pair(n: int, B: int, dtype=None) -> bool:
     return False
 
 
+def _use_bodychunk(n: int, B: int) -> bool:
+    """Huge-batch real/DCT pipelines: chunk the WHOLE body (not just
+    the inner FFT) through lax.map once the working set passes the
+    2^24-element HBM-thrash threshold — the deinterleave/table-FMA/
+    riffle passes around the FFT otherwise run as one fused program
+    and collapse exactly like the round-2 flat FFT did.  Measured
+    2.5-2.7x at (65536, 1024), bit-identical (ROWBODY_CHUNK_r05);
+    this is the 2-D row-pass shape, so dctn/rfft2 inherit it."""
+    return (B * n >= _BIG_ELEMS and B % _LANE_BATCH == 0
+            and B >= 2 * _LANE_BATCH)
+
+
+def map_body_chunks(fn, x, n_out: int):
+    """lax.map ``fn`` over _LANE_BATCH-row chunks of the flat batch.
+    ``fn`` maps (bc, n) -> (bc, n_out) or a tuple of such."""
+    lead = x.shape[:-1]
+    xc = x.reshape(-1, _LANE_BATCH, x.shape[-1])
+    out = jax.lax.map(fn, xc)
+    return jax.tree_util.tree_map(
+        lambda o: o.reshape(lead + (n_out,)), out)
+
+
 def _use_rstream(n: int, B: int, dtype) -> bool:
     """Permuted-merge streaming rfft band: n >= 65536 with 2^22..2^24
     elements (RSTREAM_AB_r05, fixed-mirror run: 324 vs 437 us at
@@ -608,6 +630,8 @@ def srfft(x, n: int):
     if _use_rstream(n, _flat_batch(x.shape), x.dtype):
         from .pallas_rstream import srfft_stream_pallas
         return srfft_stream_pallas(x, n)
+    if _use_bodychunk(n, _flat_batch(x.shape)):
+        return map_body_chunks(lambda c: srfft(c, n), x, n // 2 + 1)
     if n % 2 == 0:
         zr = x[..., 0::2]
         zi = x[..., 1::2]
@@ -648,6 +672,13 @@ def sirfft(yr, yi, n: int):
     if _use_rstream(n, _flat_batch(yr.shape), yr.dtype):
         from .pallas_rstream import sirfft_stream_pallas
         return sirfft_stream_pallas(yr, yi, n)
+    if _use_bodychunk(n, _flat_batch(yr.shape)):
+        lead = yr.shape[:-1]
+        h1 = yr.shape[-1]
+        ac = yr.reshape(-1, _LANE_BATCH, h1)
+        bc = yi.reshape(-1, _LANE_BATCH, h1)
+        out = jax.lax.map(lambda c: sirfft(c[0], c[1], n), (ac, bc))
+        return out.reshape(lead + (n,))
     if n % 2 == 0:
         h = n // 2
         ya = yr[..., :h]

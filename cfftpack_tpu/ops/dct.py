@@ -93,6 +93,11 @@ def _dct2_core(x, n: int):
         # the same band as the rfft dispatch)
         from .pallas_rstream import sdct2_stream_pallas
         return sdct2_stream_pallas(x, n)
+    if core._use_bodychunk(n, core._flat_batch(x.shape)):
+        # huge batch: chunk the WHOLE gather+FFT+table pipeline, not
+        # just the inner FFT — 2.68x at (65536, 1024), bit-identical
+        # (ROWBODY_CHUNK_r05); the 2-D dctn row pass lives here
+        return core.map_body_chunks(lambda c: _dct2_core(c, n), x, n)
     if n % 2:
         # odd n: Makhoul permutation + full-length real DFT
         v = jnp.concatenate([x[..., 0::2], x[..., 1::2][..., ::-1]],
@@ -181,6 +186,8 @@ def _dct3_core(x, n: int):
         # same streaming band as _dct2_core (see note there)
         from .pallas_rstream import sdct3_stream_pallas
         return sdct3_stream_pallas(x, n)
+    if core._use_bodychunk(n, core._flat_batch(x.shape)):
+        return core.map_body_chunks(lambda c: _dct3_core(c, n), x, n)
     h = n // 2
     if n % 2 == 0:
         m = (n + 2) // 4 if n % 4 else n // 4
@@ -318,6 +325,9 @@ def _dct4_core(x, n: int):
     unlike the reference's even-only dct4, cfftextra.h:34-36).
     """
     from . import core
+    if core._use_bodychunk(n, core._flat_batch(x.shape)):
+        # same whole-body chunking as _dct2_core (ROWBODY_CHUNK_r05)
+        return core.map_body_chunks(lambda c: _dct4_core(c, n), x, n)
     if n % 2 == 0 and n >= 4:
         h = n // 2
         p = np.arange(h)

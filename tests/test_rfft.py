@@ -259,3 +259,34 @@ def test_rfft2_split_padded_middle():
             atol=2e-4)
     finally:
         R._ragged_pad = orig
+
+
+def test_bodychunk_dispatch_parity(monkeypatch):
+    """Whole-body chunking (core._use_bodychunk, round 5): srfft/sirfft
+    and the DCT cores must be bit-close to the unchunked path.  The
+    2^24-element threshold is patched down so the gate fires at test
+    sizes (on-chip 2.5-2.7x A/B: ROWBODY_CHUNK_r05)."""
+    import importlib
+    import numpy as np
+    import jax.numpy as jnp
+    from cfftpack_tpu.ops import core
+    dctmod = importlib.import_module("cfftpack_tpu.ops.dct")
+    r = np.random.default_rng(91)
+    B, n = 256, 64
+    x = r.standard_normal((B, n)).astype(np.float32)
+    want_r = np.fft.rfft(x.astype(np.float64))
+    want_d2 = np.asarray(dctmod._dct2_core(jnp.asarray(x[:2]), n))
+    monkeypatch.setattr(core, "_BIG_ELEMS", 1 << 10)
+    assert core._use_bodychunk(n, B)
+    yr, yi = core.srfft(jnp.asarray(x), n)
+    got = np.asarray(yr) + 1j * np.asarray(yi)
+    assert np.abs(got - want_r).max() / np.abs(want_r).max() < 5e-6
+    back = np.asarray(core.sirfft(yr, yi, n)) / n
+    assert np.abs(back - x).max() < 5e-5
+    d2 = np.asarray(dctmod._dct2_core(jnp.asarray(x), n))
+    assert np.abs(d2[:2] - want_d2).max() / np.abs(want_d2).max() < 5e-6
+    d3 = np.asarray(dctmod._dct3_core(jnp.asarray(d2), n)) * (2.0 / n)
+    assert np.abs(d3 - x).max() < 5e-5
+    d4 = np.asarray(dctmod._dct4_core(jnp.asarray(x), n))
+    rt4 = np.asarray(dctmod._dct4_core(jnp.asarray(d4), n)) * (2.0 / n)
+    assert np.abs(rt4 - x).max() < 5e-5
