@@ -538,11 +538,32 @@ def _coldct_ok(x, n0: int) -> bool:
     B = 1
     for d in x.shape[:-2]:
         B *= int(d)
-    if B % 2 or B < 2:
+    # >= 16 images: below that the image-chunked column path has too
+    # few lax.map steps and the moveaxis + body-chunked row dct wins
+    # (COLDCT_CHUNK_r05: 9904 vs 5979 us at (4, 4096^2); 5345 vs 6793
+    # at (64, 1024^2)) — small batches fall through to _apply_axis,
+    # whose last-axis core body-chunks itself at >= 2^24 elements
+    if B % 2 or B < 16:
         return False
     from .pallas_colfft import _COL_MIN_ELEMS, colfft_eligible
     return (colfft_eligible(n0, x.shape[-1], x.dtype)
             and x.size >= _COL_MIN_ELEMS)
+
+
+def _coldct_map(fn, x, n: int):
+    """lax.map the column core over image chunks: the Makhoul gather
+    and merge passes otherwise run as ONE fused program over the full
+    2^26-element set and thrash HBM (COLDCT_CHUNK_r05: 5345 vs 10225
+    us at (64, 1024^2) — the 2-D analog of core._use_bodychunk)."""
+    B = 1
+    for d in x.shape[:-2]:
+        B *= int(d)
+    cb = 8 if B % 8 == 0 else 2
+    if B == cb:
+        return fn(x.reshape((-1,) + x.shape[-2:]), n).reshape(x.shape)
+    xc = x.reshape((-1, cb) + x.shape[-2:])
+    out = jax.lax.map(lambda c: fn(c, n), xc)
+    return out.reshape(x.shape)
 
 
 def _coldct2_core(x, n: int):
@@ -611,7 +632,8 @@ def _run(table, t: int, x, axis: int, mode: int):
             w = np.full(n, np.sqrt(2.0 / n))
             w[0] = 2.0 / np.sqrt(n)
             x = x * jnp.asarray(w[:, None], dtype=x.dtype)
-        y = (_coldct2_core if t == 2 else _coldct3_core)(x, n)
+        y = _coldct_map(_coldct2_core if t == 2 else _coldct3_core,
+                        x, n)
         if mode > 0:
             return y * jnp.asarray(2.0 / n, dtype=y.dtype)
         if mode == 0 and t == 2:
