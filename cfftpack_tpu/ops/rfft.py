@@ -382,6 +382,13 @@ def _rfilter_split_impl(x, fr, fi, axis: int, norm: str):
         out = core.sirfft(tr, ti, n)
     elif _use_stream_filter(x, fr, fi, n):
         out = _rfilter_stream(x, fr, fi, n)
+    elif (fr.ndim == 1
+          and core._use_bodychunk(n, core._flat_batch(x.shape))):
+        # huge-batch non-stream shapes: chunk the whole fused body
+        # (same 2^24-element thrash as the dct/rfft pipelines —
+        # ROWBODY_CHUNK_r05)
+        out = core.map_body_chunks(
+            lambda c: _rfilter_fused_xla(c, fr, fi, n), x, n)
     else:
         out = _rfilter_fused_xla(x, fr, fi, n)
     # the unscaled pipeline is sirfft(srfft(x)*F); the public

@@ -290,3 +290,26 @@ def test_bodychunk_dispatch_parity(monkeypatch):
     d4 = np.asarray(dctmod._dct4_core(jnp.asarray(x), n))
     rt4 = np.asarray(dctmod._dct4_core(jnp.asarray(d4), n)) * (2.0 / n)
     assert np.abs(rt4 - x).max() < 5e-5
+
+
+def test_rfilter_bodychunk_parity(monkeypatch):
+    """rfilter_split's whole-body chunk branch must match the fused
+    body exactly (threshold patched down; ROWBODY_CHUNK_r05)."""
+    import numpy as np
+    import jax.numpy as jnp
+    import cfftpack_tpu as ct
+    from cfftpack_tpu.ops import core
+    r = np.random.default_rng(95)
+    B, n = 256, 64
+    x = r.standard_normal((B, n)).astype(np.float32)
+    h1 = n // 2 + 1
+    F = r.standard_normal(h1) + 1j * r.standard_normal(h1)
+    F[0] = F[0].real
+    F[-1] = F[-1].real
+    fr = F.real.astype(np.float32)
+    fi = F.imag.astype(np.float32)
+    want = np.asarray(ct.rfilter_split(x[:2], fr, fi))
+    monkeypatch.setattr(core, "_BIG_ELEMS", 1 << 10)
+    got = np.asarray(ct.rfilter_split(x, fr, fi))
+    scale = max(1.0, np.abs(want).max())
+    assert np.abs(got[:2] - want).max() / scale < 5e-6
