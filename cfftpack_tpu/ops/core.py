@@ -585,9 +585,12 @@ def _use_bodychunk(n: int, B: int) -> bool:
     riffle passes around the FFT otherwise run as one fused program
     and collapse exactly like the round-2 flat FFT did.  Measured
     2.5-2.7x at (65536, 1024), bit-identical (ROWBODY_CHUNK_r05);
-    this is the 2-D row-pass shape, so dctn/rfft2 inherit it."""
+    this is the 2-D row-pass shape, so dctn/rfft2 inherit it.  Needs
+    >= 16 chunks: at (256, 65536) a 2-chunk map read 2266 vs the fused
+    path's 1465 us (final SWEEP_r05 dct2 leg — too few lax.map steps
+    to amortize the serialization)."""
     return (B * n >= _BIG_ELEMS and B % _LANE_BATCH == 0
-            and B >= 2 * _LANE_BATCH)
+            and B >= 16 * _LANE_BATCH)
 
 
 def map_body_chunks(fn, x, n_out: int):

@@ -272,7 +272,7 @@ def test_bodychunk_dispatch_parity(monkeypatch):
     from cfftpack_tpu.ops import core
     dctmod = importlib.import_module("cfftpack_tpu.ops.dct")
     r = np.random.default_rng(91)
-    B, n = 256, 64
+    B, n = 2048, 64
     x = r.standard_normal((B, n)).astype(np.float32)
     want_r = np.fft.rfft(x.astype(np.float64))
     want_d2 = np.asarray(dctmod._dct2_core(jnp.asarray(x[:2]), n))
@@ -300,7 +300,7 @@ def test_rfilter_bodychunk_parity(monkeypatch):
     import cfftpack_tpu as ct
     from cfftpack_tpu.ops import core
     r = np.random.default_rng(95)
-    B, n = 256, 64
+    B, n = 2048, 64
     x = r.standard_normal((B, n)).astype(np.float32)
     h1 = n // 2 + 1
     F = r.standard_normal(h1) + 1j * r.standard_normal(h1)
