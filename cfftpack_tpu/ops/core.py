@@ -342,11 +342,32 @@ def _stream_pad_for_bluestein(n: int, bp: int, dtype) -> int | None:
     return None
 
 
+def _pow2_pad_for_bluestein(n: int, dtype) -> int | None:
+    """Prefer a power-of-two convolution pad when it costs <= 15% more
+    elements than the smallest 5-smooth pad: on TPU the flat engine at
+    pow2 sizes sits at 0.5-0.85 of roofline while odd 3/5-heavy sizes
+    (e.g. m = 2025 for n = 1009) crawl through six radix-3/5 stage
+    passes — measured 1.87x on the whole Bluestein pipeline
+    (PRIME_r05.jsonl: 3538 -> 1892 us at (1009, 4096), exact
+    numerics).  None = keep the default smallest pad."""
+    if jax.default_backend() != "tpu" or jnp.dtype(dtype) != jnp.float32:
+        return None
+    m0 = plan.fft_next_fast_size(2 * n - 1)
+    if m0 & (m0 - 1) == 0:
+        return None                       # already a power of two
+    p2 = 1 << (2 * n - 2).bit_length()
+    if p2 <= m0 * 1.15:
+        return p2
+    return None
+
+
 def _bluestein(xr, xi, n: int, inverse: bool):
     bp = 1
     for d in xr.shape[:-1]:
         bp *= int(d)
     ms = _stream_pad_for_bluestein(n, bp, xr.dtype)
+    if ms is None:
+        ms = _pow2_pad_for_bluestein(n, xr.dtype)
     # one-arg form when no pad override: keeps the lru_cache key
     # identical to utils.cache.warm_plans' pre-population (advisor
     # finding, round 4 — (n, None) and (n,) are distinct cache keys)
