@@ -194,7 +194,18 @@ def _bluestein_hp_jit(Rh, Rl, Ih, Il, n: int, inverse: bool,
     exact with the same broadcast.  On CPU the tables are therefore
     embedded pre-broadcast at the full batch shape — fine for
     CPU-scale workloads; TPU keeps the memory-lean broadcast form."""
-    m, chirp, bq = plan.bluestein_tables(n)
+    # pow2 pad preference on TPU backends: odd 3/5-heavy pads cost the
+    # df engine even more than f32 (O(p)-traced odd-radix stages);
+    # mirrors core._pow2_pad_for_bluestein (1.87x on the f32 pipeline,
+    # PRIME_r05) with the same <= 15%-elements bar
+    m0 = plan.fft_next_fast_size(2 * n - 1)
+    ms = None
+    if not cpu_tables and m0 & (m0 - 1):
+        p2 = 1 << (2 * n - 2).bit_length()
+        if p2 <= m0 * 1.15:
+            ms = p2
+    m, chirp, bq = (plan.bluestein_tables(n) if ms is None
+                    else plan.bluestein_tables(n, ms))
     if inverse:
         chirp = np.conj(chirp)
         bq = np.conj(bq)
